@@ -1,0 +1,20 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+
+The reference library is float64 throughout (zfista/problems.py:22); tests
+verify numerical parity at that precision on CPU.  The 8 virtual host devices
+are the idiomatic JAX fake backend for multi-device sharding tests
+(SURVEY.md §4).  Real-TPU execution paths are exercised by bench.py.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,135 @@
+"""Closed-form LASSO oracles for the scalar (m=1) solver path.
+
+Same oracle class as the reference's functional tests
+(tests/test_proximal_gradient.py:43-114): a 1-D LASSO toy whose solutions are
+known analytically for several l1 ratios, asserted for both ISTA and FISTA.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_array_almost_equal
+
+from zfista_tpu import minimize_proximal_gradient
+from zfista_tpu.ops import soft_threshold
+
+
+def make_lasso_toy(l1_ratio):
+    A = jnp.array([[-1.0], [0.0], [1.0]])
+    b = jnp.array([-1.0, 0.0, 1.0])
+
+    def f(x):
+        r = A @ x - b
+        return jnp.dot(r, r) / 6
+
+    def g(x):
+        return l1_ratio * jnp.sum(jnp.abs(x))
+
+    def jac_f(x):
+        return A.T @ (A @ x - b) / 3
+
+    def prox_wsum_g(weight, x):
+        return soft_threshold(x, l1_ratio * weight)
+
+    return f, g, jac_f, prox_wsum_g
+
+
+TOY_SOLUTIONS = {1e-8: 1.0, 0.1: 0.85, 0.5: 0.25, 1.0: 0.0}
+
+
+@pytest.mark.parametrize("l1_ratio,x_star", sorted(TOY_SOLUTIONS.items()))
+@pytest.mark.parametrize("nesterov", [False, True])
+def test_lasso_toy(l1_ratio, x_star, nesterov):
+    f, g, jac_f, prox = make_lasso_toy(l1_ratio)
+    x0 = jnp.array([0.3])
+    res = minimize_proximal_gradient(f, g, jac_f, prox, x0, nesterov=nesterov)
+    assert res.success
+    assert_array_almost_equal(res.x, [x_star], decimal=3)
+
+
+@pytest.mark.parametrize("nesterov", [False, True])
+def test_lasso_zero_design(nesterov):
+    """Zero design matrix: x* = 0 (reference tests lines 43-68)."""
+    l1_ratio = 0.1
+
+    def f(x):
+        return jnp.zeros(())
+
+    def g(x):
+        return l1_ratio * jnp.sum(jnp.abs(x))
+
+    def jac_f(x):
+        return jnp.zeros_like(x)
+
+    def prox(weight, x):
+        return soft_threshold(x, l1_ratio * weight)
+
+    x0 = jnp.array([0.77])
+    res = minimize_proximal_gradient(f, g, jac_f, prox, x0, nesterov=nesterov)
+    assert res.success
+    assert_array_almost_equal(res.x, [0.0], decimal=3)
+
+
+def test_autodiff_jacobian():
+    """jac_f=None derives the gradient by autodiff (deliberate fix #4)."""
+    f, g, jac_f, prox = make_lasso_toy(0.1)
+    x0 = jnp.array([0.3])
+    res = minimize_proximal_gradient(f, g, None, prox, x0, nesterov=True)
+    assert res.success
+    assert_array_almost_equal(res.x, [0.85], decimal=3)
+
+
+def test_return_all():
+    f, g, jac_f, prox = make_lasso_toy(0.1)
+    x0 = jnp.array([0.3])
+    res = minimize_proximal_gradient(f, g, jac_f, prox, x0, return_all=True)
+    assert "allvecs" in res and "allfuns" in res and "allerrs" in res
+    assert len(res.allvecs) == res.nit + 1
+    assert len(res.allfuns) == res.nit + 1
+    assert len(res.allerrs) == res.nit
+    assert_array_almost_equal(res.allvecs[0], np.asarray(x0))
+    assert_array_almost_equal(res.allvecs[-1], res.x)
+    # error criterion decreases below tol at the end
+    assert res.allerrs[-1] < res.tol
+
+
+def test_result_fields():
+    f, g, jac_f, prox = make_lasso_toy(0.5)
+    x0 = jnp.array([0.9])
+    res = minimize_proximal_gradient(f, g, jac_f, prox, x0)
+    for field in (
+        "x",
+        "fun",
+        "success",
+        "status",
+        "message",
+        "nit",
+        "nit_internal",
+        "time",
+        "weight",
+    ):
+        assert field in res, field
+    assert res.nit_internal >= res.nit  # at least one inner iter per outer
+    assert np.ndim(res.fun) == 0  # scalar objective stays scalar
+
+
+def test_fixed_lr_decay_rate_one():
+    """decay_rate=1 disables the accept test (single prox step per iter)."""
+    f, g, jac_f, prox = make_lasso_toy(0.1)
+    # L = 2/3 for this problem; lr = 1/L = 1.5 is a valid fixed step.
+    x0 = jnp.array([0.3])
+    res = minimize_proximal_gradient(
+        f, g, jac_f, prox, x0, lr=1.5, decay_rate=1, nesterov=True
+    )
+    assert res.success
+    assert_array_almost_equal(res.x, [0.85], decimal=3)
+
+
+def test_max_iter_exhaustion():
+    f, g, jac_f, prox = make_lasso_toy(0.1)
+    x0 = jnp.array([0.3])
+    with pytest.warns(UserWarning):
+        res = minimize_proximal_gradient(f, g, jac_f, prox, x0, max_iter=2)
+    assert not res.success
+    assert res.status == 0
+    assert res.nit == 2

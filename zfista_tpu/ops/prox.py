@@ -1,0 +1,109 @@
+r"""Proximal operators as pure, jit/vmap-friendly JAX functions.
+
+This is the L1 "prox library" layer of the TPU-native framework: every operator
+here is a pure function of arrays, traceable under ``jax.jit``/``jax.vmap`` and
+usable inside ``lax.while_loop`` carries.  They replace the reference's use of
+``jaxopt.prox.prox_lasso`` / ``jaxopt.projection.projection_box``
+(reference: zfista/problems.py:119-138) with native implementations, since the
+hot path must stay inside one compiled program on TPU.
+
+Numerical semantics match the reference exactly, including its *sequential
+composition* construction for the prox of a weighted sum of several shifted-L1
+terms (an approximation that is exact for a single term — see
+``make_wsum_shifted_l1_box_prox``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from zfista_tpu._typing import Array, ArrayLike
+
+
+def soft_threshold(x: Array, thresh: ArrayLike) -> Array:
+    r"""Soft-thresholding: :math:`\mathrm{prox}_{t\|\cdot\|_1}(x)`.
+
+    Elementwise ``sign(x) * max(|x| - thresh, 0)``.  ``thresh`` broadcasts.
+    """
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - thresh, 0)
+
+
+# Alias with the naming used by jaxopt (``prox_lasso(x, l1reg)``) so problem
+# definitions read like the literature.
+def prox_l1(x: Array, scale: ArrayLike) -> Array:
+    r"""Prox of ``scale * ||x||_1`` (a.k.a. ``prox_lasso``)."""
+    return soft_threshold(x, scale)
+
+
+def prox_shifted_l1(x: Array, scale: ArrayLike, shift: ArrayLike) -> Array:
+    r"""Prox of ``scale * ||x - shift||_1``: shift, soft-threshold, unshift."""
+    return soft_threshold(x - shift, scale) + shift
+
+
+def project_box(x: Array, lower: ArrayLike, upper: ArrayLike) -> Array:
+    r"""Euclidean projection onto the box ``[lower, upper]`` (broadcasts)."""
+    return jnp.clip(x, lower, upper)
+
+
+def project_simplex(v: Array) -> Array:
+    r"""Euclidean projection of ``v`` (shape ``(m,)``) onto the probability simplex.
+
+    Sort-based algorithm (Held/Wolfe/Crowder; popularized by Duchi et al. 2008):
+    with ``u = sort(v, desc)`` find the largest ``rho`` with
+    ``u_rho - (cumsum(u)_rho - 1)/rho > 0`` and threshold at
+    ``theta = (cumsum(u)_rho - 1)/rho``.  ``m`` is the number of objectives
+    (tiny), so the ``O(m log m)`` sort is free; everything is jit/vmap-safe.
+    """
+    m = v.shape[-1]
+    u = jnp.sort(v, axis=-1)[..., ::-1]
+    css = jnp.cumsum(u, axis=-1) - 1.0
+    idx = jnp.arange(1, m + 1, dtype=v.dtype)
+    cond = u - css / idx > 0
+    # rho = number of True entries (cond is monotone non-increasing).
+    rho = jnp.sum(cond, axis=-1).astype(v.dtype)
+    rho_i = jnp.maximum(jnp.sum(cond, axis=-1) - 1, 0)
+    theta = jnp.take_along_axis(css, rho_i[..., None], axis=-1)[..., 0] / jnp.maximum(
+        rho, 1.0
+    )
+    return jnp.maximum(v - theta[..., None], 0.0)
+
+
+def make_wsum_shifted_l1_box_prox(
+    l1_ratios: Array | None,
+    l1_shifts: Array | None,
+    lower: ArrayLike | None,
+    upper: ArrayLike | None,
+):
+    r"""Build ``prox_wsum_g(weight, x)`` for the reference's generic ``g``.
+
+    The reference's generic nonsmooth term is
+    ``g_i(x) = r_i * ||x - s_i||_1`` plus the indicator of a box
+    (reference: zfista/problems.py:101-117).  Its prox of the *weighted sum*
+    is constructed by sequentially composing per-objective shifted-L1 proxes
+    and finishing with a box projection (reference: zfista/problems.py:119-138).
+    That sequence is exact for a single L1 term; for several terms it is the
+    reference's defining construction, which we replicate bit-for-bit so that
+    benchmark trajectories agree.
+
+    Returned callable signature: ``prox(weight, x) -> x`` where ``weight`` is
+    ``lr`` (scalar) for one objective or ``lr * w`` (shape ``(m,)``) otherwise.
+    """
+
+    def prox(weight, x: Array) -> Array:
+        if l1_ratios is not None:
+            coef = jnp.asarray(weight) * l1_ratios
+            coef = jnp.atleast_1d(coef)
+            shifts = jnp.atleast_1d(l1_shifts)
+            m = coef.shape[0]
+            # First term: the reference adds sum(coef[1:]) to x before the
+            # first soft-threshold (zfista/problems.py:128-130).
+            x = soft_threshold(x + jnp.sum(coef[1:]), coef[0])
+            for i in range(1, m):
+                x = soft_threshold(x - coef[i] - shifts[i], coef[i]) + shifts[i]
+        if lower is not None or upper is not None:
+            lo = -jnp.inf if lower is None else lower
+            hi = jnp.inf if upper is None else upper
+            x = jnp.clip(x, lo, hi)
+        return x
+
+    return prox
