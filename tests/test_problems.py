@@ -1,0 +1,156 @@
+"""Problem-zoo unit tests: analytic values, autodiff-vs-analytic Jacobians,
+prox semantics, and small end-to-end solves.
+
+Value oracles follow the reference's test points (tests/test_problems.py),
+recomputed independently; Jacobian parity with ``jax.jacfwd`` is a stronger
+check the reference lacks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zfista_tpu.models import (
+    FDS,
+    JOS1,
+    SD,
+    TOI4,
+    TRIDIA,
+    ZDT1,
+    LinearFunctionRank1,
+)
+
+ALL_PROBLEMS = [
+    JOS1(),
+    JOS1(n_features=10, l1_ratios=[0.2, 0.1], l1_shifts=[0.0, 1.0]),
+    SD(),
+    FDS(n_features=5),
+    FDS(n_features=5, bounds=(0.0, jnp.inf)),
+    ZDT1(n_features=8),
+    TOI4(),
+    TRIDIA(),
+    LinearFunctionRank1(n_features=6),
+]
+
+
+def feasible_point(p, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(0.5, 2.0, p.n_features)
+    return jnp.asarray(x)
+
+
+@pytest.mark.parametrize("p", ALL_PROBLEMS, ids=lambda p: p.name)
+def test_jacobian_matches_autodiff(p):
+    x = feasible_point(p)
+    analytic = np.asarray(p.jac_f(x))
+    auto = np.asarray(jax.jacfwd(p.f)(x))
+    np.testing.assert_allclose(analytic, auto, rtol=1e-10, atol=1e-12)
+    assert analytic.shape == (p.n_objectives, p.n_features)
+
+
+def test_jos1_values():
+    p = JOS1()
+    x = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    np.testing.assert_allclose(np.asarray(p.f(x)), [11.0, 3.0])
+    np.testing.assert_allclose(np.asarray(p.g(x)), [0.0, 0.0])
+
+
+def test_jos1_l1_g_and_prox():
+    p = JOS1(l1_ratios=[0.2, 0.1], l1_shifts=[0.0, 1.0])
+    x = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    # g = [0.2*||x||_1, 0.1*||x-1||_1] = [0.2*15, 0.1*10]
+    np.testing.assert_allclose(np.asarray(p.g(x)), [3.0, 1.0])
+    # prox semantics: sequential composition (reference problems.py:119-138)
+    w = jnp.array([0.5, 0.5])
+    xp = jnp.array([3.0, 4.0, 5.0, 6.0, 7.0])
+    coef = np.array([0.5 * 0.2, 0.5 * 0.1])
+    z = np.asarray(xp) + coef[1]  # + sum(coef[1:])
+    z = np.sign(z) * np.maximum(np.abs(z) - coef[0], 0)  # term 0
+    z = z - coef[1] - 1.0
+    z = np.sign(z) * np.maximum(np.abs(z) - coef[1], 0) + 1.0  # term 1 shifted
+    np.testing.assert_allclose(np.asarray(p.prox_wsum_g(w, xp)), z)
+    np.testing.assert_allclose(z, [2.85, 3.85, 4.85, 5.85, 6.85])
+
+
+def test_sd_values():
+    p = SD()
+    s2 = np.sqrt(2)
+    x = jnp.array([1.0, s2, s2, 1.0])
+    np.testing.assert_allclose(np.asarray(p.f(x)), [7.0, 8.0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(p.g(x)), [0.0, 0.0])
+    # feasible point projects to itself
+    np.testing.assert_allclose(
+        np.asarray(p.prox_wsum_g(jnp.array([0.5, 0.5]), x)), np.asarray(x)
+    )
+
+
+def test_fds_values():
+    p = FDS(n_features=5)
+    x = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    k = np.arange(1, 6)
+    f1 = np.dot(k, (np.asarray(x) - k) ** 4) / 25
+    f2 = np.exp(3.0) + np.dot(np.asarray(x), np.asarray(x))
+    f3 = np.dot(k * k[::-1], np.exp(-np.asarray(x))) / 30
+    np.testing.assert_allclose(np.asarray(p.f(x)), [f1, f2, f3], rtol=1e-12)
+
+
+def test_fds_constrained_g_inf():
+    p = FDS(n_features=5, bounds=(0.0, jnp.inf))
+    assert np.all(np.asarray(p.g(jnp.ones(5))) == 0)
+    assert np.all(np.isinf(np.asarray(p.g(-jnp.ones(5)))))
+    w = jnp.full(3, 1 / 3)
+    x = jnp.array([-3.0, -1.0, 0.0, 1.0, 3.0])
+    np.testing.assert_allclose(
+        np.asarray(p.prox_wsum_g(w, x)), [0, 0, 0, 1, 3]
+    )
+
+
+def test_zdt1_values():
+    p = ZDT1(n_features=8)
+    x = jnp.full(8, 0.5)
+    h = 1 + 9 / 7 * 3.5
+    np.testing.assert_allclose(
+        np.asarray(p.f(x)), [0.5, h * (1 - np.sqrt(0.5 / h))], rtol=1e-12
+    )
+
+
+def test_tridia_and_toi4_values():
+    x3 = jnp.array([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(TRIDIA().f(x3)), [1.0, 0.0, 3.0])
+    x4 = jnp.array([1.0, 2.0, 3.0, 5.0])
+    np.testing.assert_allclose(np.asarray(TOI4().f(x4)), [6.0, 3.5])
+
+
+def test_linear_function_rank1_values():
+    p = LinearFunctionRank1(n_features=6)
+    x = jnp.ones(6)
+    s = 21.0
+    np.testing.assert_allclose(
+        np.asarray(p.f(x)), [(i * s - 1) ** 2 for i in range(1, 5)]
+    )
+
+
+def test_jos1_solve_reaches_pareto_set():
+    """JOS1's Pareto set is {x : x_i = c, c in [0, 2]}; a solve from any
+    start must land on it."""
+    p = JOS1()
+    x0 = jnp.array([3.0, -1.0, 0.5, 2.5, 1.0])
+    res = p.minimize_proximal_gradient(x0, nesterov=True)
+    assert res.success
+    x = np.asarray(res.x)
+    assert np.all(x >= -1e-6) and np.all(x <= 2 + 1e-6)
+    np.testing.assert_allclose(x, x.mean(), atol=1e-4)
+
+
+def test_sd_solve_feasible():
+    p = SD()
+    x0 = jnp.array([1.5, 1.5, 1.5, 1.5])
+    res = p.minimize_proximal_gradient(x0, nesterov=True, max_iter=20000)
+    assert res.success
+    assert np.all(np.asarray(res.x) >= 1e-6 - 1e-15)
+
+
+def test_problem_names():
+    assert JOS1().name == "JOS1_n_5"
+    assert "l1_ratios_0.2_0.1" in JOS1(l1_ratios=[0.2, 0.1]).name
