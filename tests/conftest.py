@@ -8,7 +8,11 @@ are the idiomatic JAX fake backend for multi-device sharding tests
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session environment points JAX at a real TPU.
+# The TPU sitecustomize hook registers its PJRT plugin at interpreter start
+# and rewrites jax_platforms, so the env var alone is not enough — the
+# config must be overridden after import as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +21,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

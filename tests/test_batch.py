@@ -1,0 +1,115 @@
+"""Batched (vmap) driver tests: batch == sequence of single solves, λ-sweep
+params, sharded placement on the 8-device CPU mesh.
+
+Mirrors the reference's joblib fan-out semantics (each lane an independent
+solve; reference benchmarks/benchmark.py:325-334) with the vmapped driver.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zfista_tpu.models.lasso import Lasso, make_lasso_lambda_sweep
+from zfista_tpu.models.zoo import JOS1
+from zfista_tpu.parallel.batch import minimize_proximal_gradient_batch
+from zfista_tpu.parallel.sharding import batch_sharding, make_mesh
+
+
+@pytest.fixture(scope="module")
+def toy_lasso():
+    # The reference's 1-D closed-form toy (tests/test_proximal_gradient.py:70-114):
+    # A = [[1],[0],[0]]/sqrt(2) stacked so f = ||Ax-b||^2 with known solutions.
+    A = np.array([[1.0], [0.0], [0.0]])
+    b = np.array([1.0, 0.0, 0.0])
+    return A, b
+
+
+def test_batch_matches_single(toy_lasso):
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    x0s = jnp.array([[0.0], [2.0], [-3.0], [0.5]])
+    res = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, lr=0.4, nesterov=True
+    )
+    assert res.x.shape == (4, 1)
+    assert bool(np.all(res.success))
+    # Closed form: argmin (x-1)^2 + 0.1|x| -> x* = 1 - 0.05 = 0.95... wait:
+    # f = (x - 1)^2, prox of 0.1|x|: x* = 1 - 0.1/2 = 0.95.
+    np.testing.assert_allclose(res.x, 0.95, atol=1e-4)
+    for i, r in enumerate(res.to_list()):
+        single = prob.minimize_proximal_gradient(
+            np.asarray(x0s[i]), lr=0.4, nesterov=True
+        )
+        np.testing.assert_allclose(r.x, single.x, atol=1e-6)
+        np.testing.assert_allclose(r.fun, single.fun, atol=1e-8)
+
+
+def test_batch_multiobjective_jos1():
+    prob = JOS1(n_features=5)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-2, 4, size=(6, 5)))
+    res = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, nesterov=True
+    )
+    assert bool(np.all(res.success))
+    # Pareto set of JOS1 is the segment x = c*ones, c in [0, 2]; each
+    # converged point must be (approximately) a constant vector in [0,2].
+    for x in np.asarray(res.x):
+        assert np.ptp(x) < 1e-3
+        assert -1e-3 <= x[0] <= 2 + 1e-3
+    for r, x0 in zip(res.to_list(), x0s):
+        single = prob.minimize_proximal_gradient(np.asarray(x0), nesterov=True)
+        np.testing.assert_allclose(r.x, single.x, atol=1e-5)
+
+
+def test_batch_lambda_sweep(toy_lasso):
+    A, b = toy_lasso
+    f, g, jac_f, prox = make_lasso_lambda_sweep(A, b)
+    lams = jnp.array([1e-8, 0.1, 0.5, 1.0])
+    x0s = jnp.zeros((4, 1))
+    res = minimize_proximal_gradient_batch(
+        f, g, jac_f, prox, x0s, batch_params=lams, lr=0.4, nesterov=True
+    )
+    # Reference closed forms (tests/test_proximal_gradient.py:106-108):
+    # x* = max(1 - lam/2, 0).
+    np.testing.assert_allclose(
+        res.x[:, 0], [1.0, 0.95, 0.75, 0.5], atol=1e-4
+    )
+
+
+def test_batch_history(toy_lasso):
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    x0s = jnp.array([[0.0], [3.0]])
+    res = minimize_proximal_gradient_batch(
+        prob.f,
+        prob.g,
+        prob.jac_f,
+        prob.prox_wsum_g,
+        x0s,
+        lr=0.4,
+        nesterov=True,
+        history=True,
+        history_chunk=32,
+    )
+    lst = res.to_list()
+    for r in lst:
+        assert len(r.allfuns) == len(r.allerrs)
+        assert len(r.allfuns) >= 1
+        # error criterion decreasing towards tolerance at the end
+        assert r.allerrs[-1] < 1e-5
+
+
+def test_batch_sharded_placement(toy_lasso):
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    mesh = make_mesh(batch=8, model=1)
+    x0s = jax.device_put(
+        jnp.linspace(-2, 2, 16).reshape(16, 1), batch_sharding(mesh)
+    )
+    res = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, lr=0.4, nesterov=True
+    )
+    assert bool(np.all(res.success))
+    np.testing.assert_allclose(res.x, 0.95, atol=1e-4)

@@ -1,0 +1,81 @@
+"""Wavelet-deblur workload tests: Haar DWT orthonormality and perfect
+reconstruction, analytic adjoint Jacobian vs autodiff, Lipschitz bound, and
+an end-to-end fixed-step FISTA solve that deblurs (reference workload:
+examples/cameraman.ipynb)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zfista_tpu.models.deblur import (
+    WaveletDeblur,
+    blur_lipschitz,
+    dwt2,
+    gaussian_kernel,
+    idwt2,
+    make_blur,
+    synthetic_cameraman,
+)
+
+
+def test_haar_roundtrip_and_orthonormality():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((32, 32)))
+    for levels in [1, 2, 5]:
+        c = dwt2(img, levels)
+        # Orthonormal: energy preserved.
+        np.testing.assert_allclose(
+            float(jnp.sum(c * c)), float(jnp.sum(img * img)), rtol=1e-12
+        )
+        rec = idwt2(c, levels)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(img), atol=1e-12)
+
+
+def test_dwt_adjoint_is_inverse():
+    # Orthonormal transform: <dwt(a), b> == <a, idwt(b)>.
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((16, 16)))
+    b = jnp.asarray(rng.standard_normal((16, 16)))
+    lhs = float(jnp.sum(dwt2(a, 3) * b))
+    rhs = float(jnp.sum(a * idwt2(b, 3)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_jac_f_matches_autodiff():
+    rng = np.random.default_rng(2)
+    img = synthetic_cameraman(16)
+    prob = WaveletDeblur(img, l1_ratio=1e-4)
+    x = jnp.asarray(rng.standard_normal(16 * 16))
+    analytic = np.asarray(prob.jac_f(x))
+    auto = np.asarray(jax.jacrev(lambda z: prob.f(z)[0])(x))[None, :]
+    np.testing.assert_allclose(analytic, auto, atol=1e-9)
+
+
+def test_blur_lipschitz_bounds_operator():
+    rng = np.random.default_rng(3)
+    k = gaussian_kernel(5, 1.5)
+    blur = make_blur(k)
+    L = blur_lipschitz(k, (16, 16))
+    # Power iteration on the actual (SAME-padded) operator must not exceed
+    # the circular-symbol bound.
+    v = jnp.asarray(rng.standard_normal((16, 16)))
+    for _ in range(50):
+        w = blur(blur(v))  # blur is self-adjoint
+        v = w / jnp.linalg.norm(w)
+    lam = float(jnp.sum(v * blur(blur(v))))
+    assert 2 * lam <= L * (1 + 1e-10)
+
+
+def test_deblur_solve_improves_image():
+    img = synthetic_cameraman(32)
+    blur = make_blur(gaussian_kernel(5, 1.0))
+    observed = blur(img)
+    prob = WaveletDeblur(observed, l1_ratio=1e-6, kernel=gaussian_kernel(5, 1.0))
+    res = prob.solve(max_iter=300, tol=1e-7)
+    rec = idwt2(jnp.reshape(jnp.asarray(res.x), (32, 32)), prob.levels)
+    err_rec = float(jnp.linalg.norm(rec - img))
+    err_obs = float(jnp.linalg.norm(observed - img))
+    assert err_rec < 0.5 * err_obs
+    # Objective must have decreased from the warm start.
+    F0 = float(prob.f(prob.x0())[0] + prob.g(prob.x0())[0])
+    assert float(np.atleast_1d(res.fun)[0]) < F0

@@ -1,0 +1,83 @@
+"""Sharded-solve tests on the 8-virtual-device CPU mesh: sharded == single.
+
+The reference has no distributed path (SURVEY.md §2.6); these assert the
+TPU-native design invariant that GSPMD sharding changes placement, never
+results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from zfista_tpu.models.lasso import Lasso, fista_step_dense, operator_norm_sq
+from zfista_tpu.parallel.sharding import (
+    feature_sharding,
+    make_mesh,
+    operator_sharding,
+)
+
+
+def _rand_lasso(m=32, n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n)) / np.sqrt(m)
+    x_true = np.zeros(n)
+    x_true[rng.choice(n, 8, replace=False)] = rng.standard_normal(8)
+    b = A @ x_true + 0.01 * rng.standard_normal(m)
+    return A, b
+
+
+def test_feature_sharded_solve_matches_single_device():
+    A_np, b_np = _rand_lasso()
+    lam = 0.01
+    L = float(2 * operator_norm_sq(jnp.asarray(A_np), 100))
+
+    def run(A, b, x0, n_iter=200):
+        lr = jnp.asarray(1.0 / L, A.dtype)
+
+        @jax.jit
+        def go(carry):
+            def body(_, c):
+                return fista_step_dense(A, b, jnp.asarray(lam, A.dtype), lr, c)
+
+            return jax.lax.fori_loop(0, n_iter, body, carry)
+
+        return np.asarray(go((x0, x0, jnp.ones((), A.dtype)))[0])
+
+    x0 = jnp.zeros(A_np.shape[1])
+    ref = run(jnp.asarray(A_np), jnp.asarray(b_np), x0)
+
+    mesh = make_mesh(batch=2, model=4)
+    A_sh = jax.device_put(jnp.asarray(A_np), operator_sharding(mesh))
+    x0_sh = jax.device_put(x0, feature_sharding(mesh))
+    sharded = run(A_sh, jnp.asarray(b_np), x0_sh)
+
+    np.testing.assert_allclose(sharded, ref, atol=1e-10)
+
+
+def test_full_solver_feature_sharded():
+    A_np, b_np = _rand_lasso(m=24, n=32, seed=1)
+    mesh = make_mesh(batch=1, model=8)
+    A_sh = jax.device_put(jnp.asarray(A_np), operator_sharding(mesh))
+    prob_sh = Lasso(A_sh, jnp.asarray(b_np), l1_ratio=0.01)
+    prob = Lasso(A_np, b_np, l1_ratio=0.01)
+
+    x0 = np.zeros(A_np.shape[1])
+    lr = 1.0 / prob.lipschitz()
+    r_ref = prob.minimize_proximal_gradient(
+        x0, lr=lr, decay_rate=1, nesterov=True
+    )
+    x0_sh = jax.device_put(jnp.asarray(x0), feature_sharding(mesh))
+    r_sh = prob_sh.minimize_proximal_gradient(
+        x0_sh, lr=lr, decay_rate=1, nesterov=True
+    )
+    assert r_ref.success and r_sh.success
+    assert r_ref.nit == r_sh.nit
+    np.testing.assert_allclose(r_sh.x, r_ref.x, atol=1e-10)
+
+
+def test_mesh_axes():
+    mesh = make_mesh(batch=4, model=2)
+    assert mesh.shape == {"batch": 4, "model": 2}
+    mesh = make_mesh(model=2)
+    assert mesh.shape == {"batch": 4, "model": 2}

@@ -1,0 +1,259 @@
+r"""Benchmark suite: the reference's ``runtests.py`` workload, TPU-native.
+
+Reference behavior (benchmarks/benchmark.py:303-529): for each problem in a
+size sweep, solve 100 uniformly-sampled initial points with three algorithm
+variants — Normal (ISTA), Accelerated (FISTA), Accelerated-deprecated — then
+compute quality metrics, performance ratios, Pareto-front and error-decay
+plots, per-metric performance profiles, and a tidy CSV.
+
+TPU-native deltas:
+
+* The 100-start fan-out is ONE vmapped device program per variant
+  (:func:`zfista_tpu.parallel.batch.minimize_proximal_gradient_batch`)
+  instead of ``joblib.Parallel`` over processes
+  (reference: benchmark.py:325-371).
+* Results are cached per (problem × variant) as ``.npz`` — same resume
+  granularity as the reference's pickle cache (benchmark.py:279-300).
+* ``max_iter`` defaults to 10_000 (the reference's 1e8 exists because its
+  per-iteration cost is seconds; a vmapped batch converges or plateaus well
+  inside 10k, and the cap is a CLI knob).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import pickle
+import time
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+from zfista_tpu.core.result import SolveResult
+from zfista_tpu.metrics import calculate_metrics
+from zfista_tpu.models.base import Problem
+from zfista_tpu.models.zoo import FDS, JOS1, SD, TOI4, TRIDIA, ZDT1, LinearFunctionRank1
+from zfista_tpu.parallel.batch import minimize_proximal_gradient_batch
+
+logger = logging.getLogger("zfista_tpu.bench")
+
+VARIANTS = {
+    "Normal": dict(nesterov=False),
+    "Accelerated": dict(nesterov=True),
+    "Accelerated (deprecated)": dict(nesterov=True, deprecated=True),
+}
+
+
+def benchmark(
+    problem: Problem,
+    low,
+    high,
+    n_samples: int = 100,
+    max_iter: int = 10_000,
+    tol_internal: float = 1e-11,
+    seed: int = 42,
+    history: bool = True,
+    variants: dict | None = None,
+) -> dict[str, list[SolveResult]]:
+    """Run the three algorithm variants over ``n_samples`` uniform starts.
+
+    Mirrors reference benchmark.py:303-374 (same sampling box semantics,
+    same ``tol_internal=1e-11``), with each variant one batched solve.
+    """
+    rng = np.random.default_rng(seed)
+    x0s = rng.uniform(low, high, size=(n_samples, problem.n_features))
+    out: dict[str, list[SolveResult]] = {}
+    for name, opts in (variants or VARIANTS).items():
+        t0 = time.perf_counter()
+        res = minimize_proximal_gradient_batch(
+            problem.f,
+            problem.g,
+            problem.jac_f,
+            problem.prox_wsum_g,
+            x0s,
+            max_iter=max_iter,
+            tol_internal=tol_internal,
+            history=history,
+            **opts,
+        )
+        logger.info(
+            "%s / %s: %.2fs, %d/%d converged",
+            problem.name,
+            name,
+            time.perf_counter() - t0,
+            int(np.sum(res.success)),
+            n_samples,
+        )
+        out[name] = res.to_list()
+    return out
+
+
+def load_or_run_results(
+    problem: Problem,
+    low,
+    high,
+    cache_dir: Path,
+    overwrite: bool = False,
+    **kwargs,
+) -> dict[str, list[SolveResult]]:
+    """Pickle cache with the reference's resume granularity
+    (whole problem cell; reference benchmark.py:279-300)."""
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    path = cache_dir / f"{problem.name}.pkl"
+    if path.exists() and not overwrite:
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+    results = benchmark(problem, low, high, **kwargs)
+    with open(path, "wb") as fh:
+        pickle.dump(results, fh)
+    return results
+
+
+def initialize_problems(
+    *,
+    large: bool = False,
+) -> list[tuple[Problem, float, float]]:
+    """The reference's problem sweep with sampling boxes
+    (reference: benchmark.py:411-457, 463-471): plain + L1 variants,
+    ``n_features`` scaling per problem family.  ``large=False`` trims the
+    biggest sizes for CI-scale runs."""
+    jos1_sizes = [5, 10, 20, 50, 100, 200, 500, 1000] if large else [5, 50]
+    zdt1_sizes = [50, 100] if large else [50]
+    fds_sizes = [5, 10, 20, 50, 100] if large else [10]
+    problems: list[tuple[Problem, float, float]] = []
+    for n in jos1_sizes:
+        problems.append((JOS1(n_features=n), -2.0, 4.0))
+        problems.append(
+            (
+                JOS1(
+                    n_features=n,
+                    l1_ratios=[1.0 / n, 2.0 / n],
+                    l1_shifts=[0.0, -1.0],
+                ),
+                -2.0,
+                4.0,
+            )
+        )
+    problems.append((SD(), 1.0, 2.0))
+    for n in fds_sizes:
+        problems.append((FDS(n_features=n), -2.0, 2.0))
+        problems.append(
+            (
+                FDS(
+                    n_features=n,
+                    l1_ratios=[1.0 / n, 1.0 / n, 1.0 / n],
+                    l1_shifts=[0.0, 1.0, -1.0],
+                ),
+                -2.0,
+                2.0,
+            )
+        )
+        problems.append((FDS(n_features=n, bounds=(0.0, np.inf)), 0.0, 2.0))
+    for n in zdt1_sizes:
+        problems.append((ZDT1(n_features=n), 0.01, 1.0))
+    problems.append((TOI4(), -2.0, 5.0))
+    problems.append((TOI4(l1_ratios=[0.25, 0.25], l1_shifts=[0.0, 0.0]), -2.0, 5.0))
+    problems.append((TRIDIA(), -1.0, 1.0))
+    problems.append(
+        (TRIDIA(l1_ratios=[0.5, 0.5, 0.5], l1_shifts=[0.0, 0.0, 0.0]), -1.0, 1.0)
+    )
+    problems.append((LinearFunctionRank1(n_features=30), -1.0, 1.0))
+    problems.append(
+        (
+            LinearFunctionRank1(
+                n_features=30, l1_ratios=[0.01] * 4, l1_shifts=[0.0] * 4
+            ),
+            -1.0,
+            1.0,
+        )
+    )
+    return problems
+
+
+def performance_profiles(
+    ratios_per_problem: dict[str, dict[str, dict[str, float]]],
+) -> dict[str, dict[str, tuple[np.ndarray, np.ndarray]]]:
+    """Dolan-Moré performance profiles per metric
+    (reference: benchmark.py:377-393): for each algorithm, the fraction of
+    problems whose ratio-to-best is <= τ, as a step function of τ."""
+    profiles: dict[str, dict[str, tuple[np.ndarray, np.ndarray]]] = {}
+    metric_names = next(iter(ratios_per_problem.values())).keys()
+    for metric in metric_names:
+        per_alg: dict[str, list[float]] = {}
+        for ratios in ratios_per_problem.values():
+            for alg, val in ratios[metric].items():
+                per_alg.setdefault(alg, []).append(val)
+        profiles[metric] = {}
+        for alg, vals in per_alg.items():
+            v = np.sort(np.asarray(vals, dtype=float))
+            frac = np.arange(1, len(v) + 1) / len(v)
+            profiles[metric][alg] = (v, frac)
+    return profiles
+
+
+def main(argv: Sequence[str] | None = None) -> None:
+    """CLI entry: reference runtests.py semantics (``--overwrite``,
+    ``--verbose``) plus ``--large``/``--out``/``--max-iter`` knobs."""
+    parser = argparse.ArgumentParser(description="zfista_tpu benchmark suite")
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--large", action="store_true", help="full size sweep")
+    parser.add_argument("--no-plots", action="store_true")
+    parser.add_argument("--max-iter", type=int, default=10_000)
+    parser.add_argument("--n-samples", type=int, default=100)
+    parser.add_argument("--out", type=Path, default=Path("bench_results"))
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
+    out_dir = args.out
+    cache_dir = out_dir / "cache"
+    ratios_all: dict[str, dict] = {}
+    rows = []
+    for problem, low, high in initialize_problems(large=args.large):
+        results = load_or_run_results(
+            problem,
+            low,
+            high,
+            cache_dir,
+            overwrite=args.overwrite,
+            n_samples=args.n_samples,
+            max_iter=args.max_iter,
+        )
+        metrics, ratios = calculate_metrics(*results.items())
+        ratios_all[problem.name] = ratios
+        pdir = out_dir / problem.name
+        pdir.mkdir(parents=True, exist_ok=True)
+        with open(pdir / "metrics.json", "w") as fh:
+            json.dump(metrics, fh, indent=2, default=float)
+        for metric, per_alg in metrics.items():
+            for alg, val in per_alg.items():
+                rows.append(
+                    dict(problem=problem.name, metric=metric, algorithm=alg, value=val)
+                )
+        if not args.no_plots:
+            from zfista_tpu.bench import plots
+
+            plots.show_pareto_front(
+                results, problem, save_to=pdir / "pareto_front.pdf"
+            )
+            plots.show_error_decay(results, save_to=pdir / "error_decay.pdf")
+        print(f"{problem.name}: done")
+
+    profiles = performance_profiles(ratios_all)
+    if not args.no_plots:
+        from zfista_tpu.bench import plots
+
+        plots.plot_performance_profiles(profiles, out_dir)
+    try:
+        import pandas as pd
+
+        pd.DataFrame(rows).to_csv(out_dir / "metrics.csv", index=False)
+    except ImportError:
+        with open(out_dir / "metrics.json", "w") as fh:
+            json.dump(rows, fh, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,10 +33,12 @@ data-dependent, non-jittable, CPU-only.  The TPU-native replacements here:
   :math:`\psi(t) = \partial_t \varphi([t, 1-t])`; a fixed, statically-bounded
   iteration count (``ceil(log2(1/tol))``) makes it jit-, vmap- and
   shard-friendly with zero control-flow divergence.
-* ``m >= 3`` — **projected FISTA on the simplex** (monotone MFISTA variant):
-  accelerated projected gradient with simplex projection as the prox, an
-  analytic Lipschitz warm estimate ``L ~ lr * lambda_max(J J^T)``, and
-  per-step Armijo backtracking, all inside ``lax.while_loop``.
+* ``m >= 3`` — **semismooth projected Newton on the simplex**: two-metric
+  active-set splitting, an autodiff generalized Hessian (``jax.jacfwd``
+  through the piecewise-linear prox), an (m+1)x(m+1) KKT solve per step,
+  Armijo backtracking, and a projected-gradient safeguard, all inside
+  ``lax.while_loop``.  Second-order because the dual's conditioning spans
+  decades on real problems — first-order methods need ~1e5 inner steps.
 
 Everything is shape-static, so the whole subproblem vmaps across scenario
 batches and compiles into the outer solver loop as a single XLA program.
@@ -182,114 +184,138 @@ def make_subproblem_solver(
 
         return solve_m2
 
-    # m >= 3: projected FISTA on the simplex with Armijo backtracking.
+    # m >= 3: semismooth projected Newton on the simplex.
+    #
+    # Why not first-order: the dual Hessian is ~ lr * J J^T restricted to the
+    # prox-active coordinates; its spectrum on real problems spans 5+ decades
+    # (FDS n=10: lambda in [2.3, 1.3e5]), so projected gradient/FISTA needs
+    # ~1e5 inner iterations per line-search trial.  The dual has only m
+    # variables (m = 3..5 in practice), so a Newton step is an (m+1)x(m+1)
+    # KKT solve — conditioning-immune and quadratically convergent.  The
+    # generalized Hessian comes from forward-mode autodiff through the prox
+    # (piecewise linear => jacfwd yields a valid Clarke-Jacobian element
+    # a.e.), the same role BFGS-in-trust-constr plays for the reference
+    # (zfista/proximal_gradient.py:192-205) but exact, jittable, vmappable.
+    import jax as _jax
+
+    newton_cap = min(max_iter, 100)
+
     def solve_mk(lr, F_old, y, f_y, jac_f_y, w0) -> SubproblemResult:
         primal_at, vag = _make_dual(
             f_y, jac_f_y, F_old, g, prox_wsum_g, lr, y, deprecated
         )
         dtype = y.dtype
-        eps = jnp.asarray(1e-15 if dtype == jnp.float64 else 1e-7, dtype)
-        # Stationarity floor: once the dual value reaches machine precision,
-        # the iterates bounce at O(sqrt(eps)) distance — the fixed-point
-        # residual cannot go below that, so the threshold must not either.
-        sqrt_eps = 1.5e-8 if dtype == jnp.float64 else 3.5e-4
-        stat_tol = jnp.asarray(max(tol, 10 * sqrt_eps), dtype)
+        eps_active = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+        delta = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+        stat_tol = jnp.asarray(
+            max(tol, 100 * (2.2e-16 if dtype == jnp.float64 else 1.2e-7)), dtype
+        )
+        grad_fn = lambda w: vag(w)[1]
+        hess_fn = _jax.jacfwd(grad_fn)
 
-        # Warm Lipschitz estimate: lambda_max of the tiny (m, m) Gram.
+        # Gradient-mapping scale: lambda_max of the full Gram bounds the
+        # dual's curvature; used for the PG fallback step and the
+        # stationarity measure.
         lam_max = jnp.linalg.eigvalsh(jac_f_y @ jac_f_y.T)[-1]
-        L0 = jnp.maximum(lr * lam_max, jnp.asarray(1e-12, dtype))
+        Ls = jnp.maximum(lr * lam_max, jnp.asarray(1.0, dtype))
 
         w_start = project_simplex(w0.astype(dtype))
-        phi0, _ = vag(w_start)
 
         class Carry(NamedTuple):
-            w: Array  # best (monotone) iterate
-            v: Array  # extrapolated point
-            t: Array
-            L: Array
-            phi_w: Array
+            w: Array
+            phi: Array
             k: Array
             done: Array
             nit: Array
 
         def cond(c: Carry):
-            return (~c.done) & (c.k < max_iter)
+            return (~c.done) & (c.k < newton_cap)
 
         def body(c: Carry):
-            phi_v, grad_v = vag(c.v)
+            phi, grad = vag(c.w)
+            H = hess_fn(c.w) + delta * jnp.eye(m, dtype=dtype)
 
-            def quad_ok(Lb, w_plus, phi_plus):
-                d = w_plus - c.v
-                return phi_plus <= phi_v + jnp.dot(grad_v, d) + (Lb / 2) * jnp.dot(
-                    d, d
-                ) + eps
+            # Two-metric projection (Bertsekas 1982): Newton metric on the
+            # free coordinates, gradient metric (step 1/Ls) on coordinates
+            # pinned at the boundary with outward-pushing gradient, and the
+            # trial point is the SIMPLEX PROJECTION of w + a*d — never a
+            # step capped at the boundary, which stalls at a=0 when a
+            # coordinate sits on the constraint (active-set cycling).
+            free = ~((c.w <= eps_active) & (grad > 0))
+            fm = free.astype(dtype)
+            # KKT system: [H_ff  1_f; 1_f^T  0] [d; nu] = [-grad_f; 0],
+            # frozen rows replaced by d_i = 0.
+            K = jnp.zeros((m + 1, m + 1), dtype)
+            K = K.at[:m, :m].set(H * jnp.outer(fm, fm) + jnp.diag(1.0 - fm))
+            K = K.at[:m, m].set(fm)
+            K = K.at[m, :m].set(fm)
+            rhs = jnp.concatenate([-grad * fm, jnp.zeros((1,), dtype)])
+            d_newton = jnp.linalg.solve(K, rhs)[:m]
+            # Active coordinates move along the scaled negative gradient;
+            # the projection arc clips them back if they head outward.
+            d_newton = d_newton - (1.0 - fm) * grad / Ls
 
-            # Armijo backtracking on L (bounded doublings keep it finite).
-            def bt_cond(b):
-                Lb, ok, _, _, _ = b
-                return (~ok) & (Lb < L0 * (2.0**30))
+            bad = (~jnp.all(jnp.isfinite(d_newton))) | (
+                jnp.dot(grad, d_newton) >= 0
+            )
+            d = jnp.where(bad, -grad / Ls, d_newton)
 
-            def bt_body(b):
-                Lb, _, _, _, j = b
-                Lb = Lb * 2
-                w_plus = project_simplex(c.v - grad_v / Lb)
-                phi_plus, _ = vag(w_plus)
-                return (Lb, quad_ok(Lb, w_plus, phi_plus), w_plus, phi_plus, j + 1)
+            # Armijo backtracking along the projection arc
+            # w(a) = P_simplex(w + a d).
+            c1 = jnp.asarray(1e-4, dtype)
 
-            w_first = project_simplex(c.v - grad_v / c.L)
+            def arc(a):
+                return project_simplex(c.w + a * d)
+
+            def accept(a, w_t, phi_t):
+                # Sufficient decrease measured on the actual arc movement.
+                return phi_t <= phi + c1 * jnp.dot(grad, w_t - c.w)
+
+            def ls_cond(s):
+                a, ok, j, _, _ = s
+                return (~ok) & (j < 40)
+
+            def ls_body(s):
+                a, _, j, _, _ = s
+                a = a * 0.5
+                w_t = arc(a)
+                phi_t, _ = vag(w_t)
+                return (a, accept(a, w_t, phi_t), j + 1, w_t, phi_t)
+
+            w_first = arc(jnp.asarray(1.0, dtype))
             phi_first, _ = vag(w_first)
-            L_new, _, w_plus, phi_plus, n_bt = lax.while_loop(
-                bt_cond,
-                bt_body,
+            _, ok, n_ls, w_new, phi_new = lax.while_loop(
+                ls_cond,
+                ls_body,
                 (
-                    c.L,
-                    quad_ok(c.L, w_first, phi_first),
+                    jnp.asarray(1.0, dtype),
+                    accept(1.0, w_first, phi_first),
+                    jnp.asarray(1, jnp.int32),
                     w_first,
                     phi_first,
-                    jnp.asarray(1, jnp.int32),
                 ),
             )
+            # A failed arc search (40 halvings without sufficient decrease)
+            # means numerical stationarity.
+            w_new = jnp.where(ok, w_new, c.w)
+            phi_new = jnp.where(ok, phi_new, phi)
 
-            # Monotone (MFISTA) safeguard: keep the best iterate seen.
-            better = phi_plus <= c.phi_w
-            w_next = jnp.where(better, w_plus, c.w)
-            phi_next = jnp.where(better, phi_plus, c.phi_w)
-
-            # Gradient-based adaptive restart (O'Donoghue & Candes): reset the
-            # momentum when it points against the descent direction. Restores
-            # linear convergence on locally strongly convex duals.
-            restart = jnp.dot(grad_v, w_plus - c.w) > 0
-            t_eff = jnp.where(restart, jnp.asarray(1.0, dtype), c.t)
-            t_next = (1 + jnp.sqrt(1 + 4 * t_eff**2)) / 2
-            v_next = project_simplex(
-                w_plus
-                + ((t_eff - 1) / t_next) * (w_plus - c.w)
-                + (t_eff / t_next) * (w_next - w_plus)
-            )
-
-            # Stationarity at the accepted point with its own gradient:
-            # fixed-point residual of a unit projected-gradient step.
-            _, grad_plus = vag(w_plus)
-            pg = w_plus - project_simplex(w_plus - grad_plus)
-            done = jnp.sqrt(jnp.dot(pg, pg)) < stat_tol * (1 + jnp.abs(phi_next))
-
+            # Scaled gradient mapping: distance moved by one projected-
+            # gradient step at the safe step size.
+            gm = jnp.linalg.norm(c.w - project_simplex(c.w - grad / Ls))
+            stationary = gm <= stat_tol * (1 + jnp.linalg.norm(grad) / Ls)
+            tiny_step = jnp.linalg.norm(w_new - c.w) <= stat_tol * stat_tol
             return Carry(
-                w=w_next,
-                v=v_next,
-                t=t_next,
-                L=jnp.maximum(L_new / 2, L0 / 16),
-                phi_w=phi_next,
+                w=w_new,
+                phi=phi_new,
                 k=c.k + 1,
-                done=done,
-                nit=c.nit + n_bt + 1,
+                done=stationary | tiny_step | (~ok),
+                nit=c.nit + n_ls + m + 1,  # m tangents for H + phi evals
             )
 
         init = Carry(
             w=w_start,
-            v=w_start,
-            t=jnp.asarray(1.0, dtype),
-            L=L0,
-            phi_w=phi0,
+            phi=jnp.zeros((), dtype),
             k=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             nit=jnp.asarray(1, jnp.int32),

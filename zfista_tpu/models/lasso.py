@@ -1,0 +1,148 @@
+r"""LASSO / elastic-net: the framework's flagship (north-star) workload.
+
+``min_x ||A x - b||² + λ‖x‖₁ (+ (μ/2)‖x‖²)`` with dense ``A (m, n)``.  The
+reference exercises this shape only in its unit tests
+(reference: tests/test_proximal_gradient.py:43-114); here it is a first-class
+model because BASELINE.json's north-star metric is LASSO n=10k wall-time and
+the sharded target is n=1M (configs[0], [4]).
+
+TPU mapping:
+
+* ``f``/``jac_f`` are two dense matvecs — MXU work when batched (the
+  scenario batch turns ``A @ x`` into ``A @ X.T``, a true matmul).
+* ``prox`` is closed-form soft-thresholding — fused by XLA into the
+  gradient step; a hand-written Pallas fused kernel lives in
+  :mod:`zfista_tpu.ops.fused` for the single-solve bandwidth-bound regime.
+* For n beyond one chip's HBM, lay out ``A`` as ``P(None, "model")`` and
+  ``x`` as ``P("model")`` on a mesh (:mod:`zfista_tpu.parallel.sharding`):
+  ``A @ x`` = local partial matvec + psum, ``Aᵀ r`` local — XLA inserts the
+  collectives from the shardings.
+
+The Lipschitz constant of ``∇f`` is ``2·λ_max(AᵀA)``, estimated here by
+power iteration (matvec-only, so it works sharded at n=1M where forming
+the n×n Gram is impossible).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from zfista_tpu._typing import Array
+from zfista_tpu.core.solver import minimize_proximal_gradient
+from zfista_tpu.models.base import Problem
+from zfista_tpu.ops.prox import soft_threshold
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def operator_norm_sq(A: Array, n_iter: int = 50, seed: int = 0) -> Array:
+    """λ_max(AᵀA) by power iteration on v ↦ Aᵀ(A v) (matvec-only)."""
+    n = A.shape[1]
+    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), A.dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(_, v):
+        w = A.T @ (A @ v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = lax.fori_loop(0, n_iter, body, v0)
+    w = A.T @ (A @ v)
+    return jnp.dot(v, w)
+
+
+class Lasso(Problem):
+    r"""``F(x) = ||A x - b||² + λ‖x‖₁ + (μ/2)‖x‖²`` (elastic net for μ>0).
+
+    Matches the reference's test formulation ``f = ||Ax-b||²`` (no 1/2 —
+    reference tests/test_proximal_gradient.py:49-50,79-80), so ``∇f =
+    2 Aᵀ(Ax−b)`` and ``L = 2 λ_max(AᵀA)``.
+    """
+
+    def __init__(self, A, b, l1_ratio: float, l2_ratio: float = 0.0) -> None:
+        self.A = jnp.asarray(A)
+        self.b = jnp.asarray(b)
+        self.l1_ratio = float(l1_ratio)
+        self.l2_ratio = float(l2_ratio)
+        super().__init__(
+            n_features=self.A.shape[1],
+            n_objectives=1,
+            l1_ratios=[l1_ratio],
+        )
+
+    def f(self, x: Array) -> Array:
+        r = self.A @ x - self.b
+        val = jnp.dot(r, r)
+        if self.l2_ratio:
+            val = val + 0.5 * self.l2_ratio * jnp.dot(x, x)
+        return jnp.reshape(val, (1,))
+
+    def jac_f(self, x: Array) -> Array:
+        grad = 2 * (self.A.T @ (self.A @ x - self.b))
+        if self.l2_ratio:
+            grad = grad + self.l2_ratio * x
+        return jnp.reshape(grad, (1, -1))
+
+    def g(self, x: Array) -> Array:
+        return jnp.reshape(self.l1_ratio * jnp.sum(jnp.abs(x)), (1,))
+
+    def prox_wsum_g(self, weight, x: Array) -> Array:
+        return soft_threshold(x, jnp.asarray(weight) * self.l1_ratio)
+
+    def lipschitz(self, n_iter: int = 50) -> float:
+        """``L = 2 λ_max(AᵀA) (+ μ)`` — use ``lr = 1/L`` with
+        ``decay_rate=1`` for the fixed-step fast path."""
+        return float(2 * operator_norm_sq(self.A, n_iter) + self.l2_ratio)
+
+    def solve_fixed_step(self, x0, **kwargs):
+        """Fixed-step FISTA at ``lr = 1/L`` (no backtracking) — the
+        bandwidth-bound hot path the bench measures."""
+        kwargs.setdefault("lr", 1.0 / self.lipschitz())
+        kwargs.setdefault("decay_rate", 1)
+        kwargs.setdefault("nesterov", True)
+        return minimize_proximal_gradient(
+            self.f, self.g, self.jac_f, self.prox_wsum_g, x0, **kwargs
+        )
+
+
+def make_lasso_lambda_sweep(A, b):
+    """Problem callables parameterized by per-lane λ for
+    :func:`zfista_tpu.parallel.batch.minimize_proximal_gradient_batch`
+    (BASELINE configs[2]: 1k-λ elastic-net sweep as one vmapped program).
+
+    Returns ``(f, g, jac_f, prox)`` each taking the λ parameter last.
+    """
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+
+    def f(x, lam):
+        r = A @ x - b
+        return jnp.reshape(jnp.dot(r, r), (1,))
+
+    def jac_f(x, lam):
+        return jnp.reshape(2 * (A.T @ (A @ x - b)), (1, -1))
+
+    def g(x, lam):
+        return jnp.reshape(lam * jnp.sum(jnp.abs(x)), (1,))
+
+    def prox(weight, x, lam):
+        w = weight[0] if getattr(weight, "ndim", 0) else weight
+        return soft_threshold(x, w * lam)
+
+    return f, g, jac_f, prox
+
+
+def fista_step_dense(A: Array, b: Array, lam: Array, lr: Array, carry):
+    """One fixed-step FISTA iteration on dense LASSO, written as a pure
+    function ``carry=(x, y, t) -> carry`` — the jittable forward step used by
+    ``__graft_entry__.entry`` and the Pallas-vs-XLA kernel benchmarks.
+    """
+    x, y, t = carry
+    grad = 2 * (A.T @ (A @ y - b))
+    x_new = soft_threshold(y - lr * grad, lr * lam)
+    t_new = jnp.sqrt(t * t + 0.25) + 0.5
+    y_new = x_new + ((t - 1) / t_new) * (x_new - x)
+    return x_new, y_new, t_new

@@ -1,0 +1,24 @@
+"""Batched (vmap) and sharded (mesh/GSPMD) solver drivers.
+
+The reference's only parallelism is joblib multiprocessing over independent
+solves (reference: benchmarks/benchmark.py:325-371).  Here the scenario batch
+is one vmapped XLA program per chip (:mod:`zfista_tpu.parallel.batch`) that
+shards across chips/hosts on a ``jax.sharding.Mesh``
+(:mod:`zfista_tpu.parallel.sharding`).
+"""
+
+from zfista_tpu.parallel.batch import (
+    BatchResult,
+    minimize_proximal_gradient_batch,
+)
+from zfista_tpu.parallel.sharding import (
+    make_mesh,
+    shard_batch,
+)
+
+__all__ = [
+    "BatchResult",
+    "minimize_proximal_gradient_batch",
+    "make_mesh",
+    "shard_batch",
+]
