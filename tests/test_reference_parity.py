@@ -1,0 +1,223 @@
+"""Numerical parity against the ACTUAL reference solver as an oracle.
+
+The reference implementation is mounted read-only at /root/reference; its
+core solver (zfista/proximal_gradient.py) needs only numpy+scipy, so we run
+it on the SAME problem callables as our solver and compare.
+
+Protocol: multiobjective proximal-gradient paths BIFURCATE — once the dual
+weights differ by even 1e-9, iterates drift to different (equally valid)
+Pareto points, and both solvers' own stopping rules fire at different
+places (the reference's trust-constr subproblem even fails outright on
+TRIDIA at default tolerances).  So endpoint comparison is meaningless;
+instead we compare TRAJECTORIES under fixed step size (``decay_rate=1``, no
+line search) for a fixed iteration count: if the subproblem solvers agree,
+the iterates must coincide.  The scalar path additionally matches the full
+backtracking trajectory and iteration count exactly.
+
+Skipped wholesale when the reference tree is absent.
+"""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "zfista")),
+    reason="reference tree not mounted",
+)
+
+if os.path.isdir(os.path.join(REF, "zfista")):
+    sys.path.insert(0, REF)
+    from zfista import minimize_proximal_gradient as ref_minimize
+else:  # pragma: no cover
+    ref_minimize = None
+
+from zfista_tpu import minimize_proximal_gradient
+from zfista_tpu.models.zoo import FDS, JOS1, TOI4, TRIDIA, LinearFunctionRank1
+
+
+def _trajectory_pair(prob, x0, lr, n_iter, **kw):
+    """Run both solvers for exactly ``n_iter`` fixed-step iterations."""
+    opts = dict(
+        lr=lr,
+        decay_rate=1,
+        max_iter=n_iter,
+        tol=0.0,  # never converge early: compare full trajectories
+        **kw,
+    )
+    ours = minimize_proximal_gradient(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, np.asarray(x0), **opts
+    )
+    theirs = ref_minimize(
+        lambda x: np.asarray(prob.f(jnp.asarray(x))),
+        lambda x: np.asarray(prob.g(jnp.asarray(x))),
+        lambda x: np.asarray(prob.jac_f(jnp.asarray(x))),
+        lambda w, x: np.asarray(prob.prox_wsum_g(jnp.asarray(w), jnp.asarray(x))),
+        np.asarray(x0),
+        **opts,
+    )
+    return ours, theirs
+
+
+@pytest.mark.parametrize("nesterov", [False, True])
+def test_scalar_exact_trajectory(nesterov):
+    # 1-D toy with closed-form solution; scalar path is a single prox per
+    # iteration in both solvers, so full backtracking trajectories (and the
+    # iteration count at tol) must coincide.
+    f_np = lambda x: (x[0] - 1.0) ** 2
+    g_np = lambda x: 0.1 * abs(x[0])
+    jac_np = lambda x: np.asarray([2 * (x[0] - 1.0)])
+    prox_np = lambda t, x: np.sign(x) * np.maximum(np.abs(x) - 0.1 * t, 0)
+    ours = minimize_proximal_gradient(
+        lambda x: (x[0] - 1.0) ** 2,
+        lambda x: 0.1 * jnp.abs(x[0]),
+        None,
+        lambda t, x: jnp.sign(x) * jnp.maximum(jnp.abs(x) - 0.1 * t, 0),
+        np.array([3.0]),
+        lr=0.4,
+        nesterov=nesterov,
+    )
+    theirs = ref_minimize(
+        f_np, g_np, jac_np, prox_np, np.array([3.0]), lr=0.4, nesterov=nesterov
+    )
+    assert ours.nit == theirs.nit
+    np.testing.assert_allclose(ours.x, theirs.x, atol=1e-10)
+
+
+CASES = [
+    # (problem factory, sample box, fixed lr, iterations, atol)
+    #
+    # atol calibration: the m=2 dual (bisection vs Brent at xatol=1e-12)
+    # matches to ~1e-8.  For m>=3 the ORACLE's trust-constr solves each
+    # dual only to ~1e-5..1e-7 in x (its barrier method stalls near simplex
+    # vertices); test_dual_solver_dominates_reference below shows our dual
+    # values are strictly better at every step, so the trajectory gap here
+    # is the reference's accumulated subproblem error, not ours.
+    (lambda: JOS1(n_features=5), (-2, 4), 0.5, 40, 1e-8),
+    (
+        lambda: JOS1(n_features=5, l1_ratios=[0.2, 0.4], l1_shifts=[0.0, -1.0]),
+        (-2, 4),
+        0.5,
+        40,
+        1e-8,
+    ),
+    # m>=3 windows are kept short: the oracle's per-step subproblem error
+    # (~1e-5) is amplified by momentum on these ill-conditioned quadratics,
+    # so long windows only measure chaotic growth of the REFERENCE's error.
+    (lambda: FDS(n_features=5), (-1, 1), 0.02, 30, 1e-5),
+    (lambda: TRIDIA(), (-1, 1), 0.02, 5, 1e-3),
+    (lambda: TOI4(), (-2, 5), 0.3, 40, 1e-7),
+    # LinearFunctionRank1 is deliberately absent: its Jacobian rows are all
+    # parallel (rank-1 Gram), so the dual has a degenerate optimal FACE —
+    # equally-optimal w's map to different primal points, and trajectory
+    # comparison is ill-posed.  test_rank1_dual_value_parity covers it.
+]
+
+
+@pytest.mark.parametrize(
+    "case", CASES, ids=["JOS1", "JOS1_L1", "FDS", "TRIDIA", "TOI4"]
+)
+@pytest.mark.parametrize("nesterov", [False, True])
+def test_fixed_step_trajectory_parity(case, nesterov):
+    factory, (lo, hi), lr, n_iter, atol = case
+    prob = factory()
+    rng = np.random.default_rng(42)
+    for x0 in rng.uniform(lo, hi, size=(2, prob.n_features)):
+        ours, theirs = _trajectory_pair(prob, x0, lr, n_iter, nesterov=nesterov)
+        assert ours.nit == n_iter and theirs.nit == n_iter
+        np.testing.assert_allclose(ours.x, theirs.x, atol=atol)
+        np.testing.assert_allclose(
+            np.asarray(ours.fun), np.asarray(theirs.fun), rtol=1e-6, atol=atol
+        )
+
+
+def test_dual_solver_dominates_reference():
+    """At every point along a TRIDIA trajectory, our semismooth-Newton dual
+    value is <= the reference trust-constr's (both evaluated in the same
+    dual formulation) — i.e. the replacement subproblem solver is at least
+    as accurate as the one it replaces."""
+    from zfista.proximal_gradient import _solve_subproblem as ref_sub
+
+    from zfista_tpu.core.subproblem import _make_dual, make_subproblem_solver
+
+    prob = TRIDIA()
+    rng = np.random.default_rng(42)
+    x0 = rng.uniform(-1, 1, size=3)
+    lr = 0.02
+    solve = make_subproblem_solver(
+        prob.g, prob.prox_wsum_g, 3, tol=1e-12, max_iter=100000
+    )
+    to_np = lambda fn: lambda *a: np.asarray(fn(*map(jnp.asarray, a)))
+
+    x = jnp.asarray(x0)
+    y = x
+    t = 1.0
+    for _ in range(12):
+        f_y = prob.f(y)
+        jac = prob.jac_f(y)
+        F_old = prob.f(x) + prob.g(x)
+        _, vag = _make_dual(f_y, jac, F_old, prob.g, prob.prox_wsum_g, lr, y, False)
+        ours = solve(lr, F_old, y, f_y, jac, jnp.full((3,), 1 / 3.0))
+        theirs = ref_sub(
+            prox_wsum_g=to_np(prob.prox_wsum_g),
+            lr=lr,
+            xk_old=np.asarray(x),
+            yk=np.asarray(y),
+            f=to_np(prob.f),
+            g=to_np(prob.g),
+            jac_f=to_np(prob.jac_f),
+            w0=np.full(3, 1 / 3.0),
+            tol=1e-12,
+            max_iter=100000,
+        )
+        phi_ours = float(vag(ours.weight)[0])
+        phi_ref = float(vag(jnp.asarray(theirs.weight))[0])
+        assert phi_ours <= phi_ref + 1e-14
+        x_new = ours.x
+        t_new = float(np.sqrt(t * t + 0.25) + 0.5)
+        y = x_new + ((t - 1) / t_new) * (x_new - x)
+        x, t = x_new, t_new
+
+
+def test_rank1_dual_value_parity():
+    """LinearFunctionRank1's dual is degenerate (rank-1 Gram => an optimal
+    FACE of weights), so solvers legitimately return different optimal w.
+    The well-posed parity check is the dual optimal VALUE: ours must match
+    or beat the reference's trust-constr on every subproblem."""
+    from zfista.proximal_gradient import _solve_subproblem as ref_sub
+
+    from zfista_tpu.core.subproblem import _make_dual, make_subproblem_solver
+
+    prob = LinearFunctionRank1(n_features=10, n_objectives=4)
+    rng = np.random.default_rng(7)
+    lr = 4e-5
+    solve = make_subproblem_solver(
+        prob.g, prob.prox_wsum_g, 4, tol=1e-12, max_iter=100000
+    )
+    to_np = lambda fn: lambda *a: np.asarray(fn(*map(jnp.asarray, a)))
+    for _ in range(5):
+        y = jnp.asarray(rng.uniform(-1, 1, size=10))
+        f_y = prob.f(y)
+        jac = prob.jac_f(y)
+        F_old = f_y + prob.g(y)
+        _, vag = _make_dual(f_y, jac, F_old, prob.g, prob.prox_wsum_g, lr, y, False)
+        ours = solve(lr, F_old, y, f_y, jac, jnp.full((4,), 0.25))
+        theirs = ref_sub(
+            prox_wsum_g=to_np(prob.prox_wsum_g),
+            lr=lr,
+            xk_old=np.asarray(y),
+            yk=np.asarray(y),
+            f=to_np(prob.f),
+            g=to_np(prob.g),
+            jac_f=to_np(prob.jac_f),
+            w0=np.full(4, 0.25),
+            tol=1e-12,
+            max_iter=100000,
+        )
+        phi_ours = float(vag(ours.weight)[0])
+        phi_ref = float(vag(jnp.asarray(theirs.weight))[0])
+        assert phi_ours <= phi_ref + 1e-12 * (1 + abs(phi_ref))

@@ -258,45 +258,69 @@ def make_subproblem_solver(
             bad = (~jnp.all(jnp.isfinite(d_newton))) | (
                 jnp.dot(grad, d_newton) >= 0
             )
-            d = jnp.where(bad, -grad / Ls, d_newton)
+            d_pg = -grad / Ls
+            d_first = jnp.where(bad, d_pg, d_newton)
 
             # Armijo backtracking along the projection arc
-            # w(a) = P_simplex(w + a d).
+            # w(a) = P_simplex(w + a d), with an O(eps)-slack so marginal
+            # accepts are rounding-stable (the same subproblem compiled into
+            # a larger fused program sees ~1-ulp different inputs; without
+            # the slack those flips change the termination point).
             c1 = jnp.asarray(1e-4, dtype)
+            slack = jnp.asarray(
+                4 * (2.2e-16 if dtype == jnp.float64 else 1.2e-7), dtype
+            ) * (1 + jnp.abs(phi))
 
-            def arc(a):
-                return project_simplex(c.w + a * d)
+            def arc_search(d):
+                def accept(w_t, phi_t):
+                    # A trial that does not move is never "accepted": it
+                    # must fall through to the PG arc, whose failure is the
+                    # real stationarity certificate (otherwise a clipped
+                    # Newton direction silently freezes the iterate).
+                    moved = jnp.any(w_t != c.w)
+                    return moved & (
+                        phi_t <= phi + c1 * jnp.dot(grad, w_t - c.w) + slack
+                    )
 
-            def accept(a, w_t, phi_t):
-                # Sufficient decrease measured on the actual arc movement.
-                return phi_t <= phi + c1 * jnp.dot(grad, w_t - c.w)
+                def ls_cond(s):
+                    a, ok, j, _, _ = s
+                    return (~ok) & (j < 40)
 
-            def ls_cond(s):
-                a, ok, j, _, _ = s
-                return (~ok) & (j < 40)
+                def ls_body(s):
+                    a, _, j, _, _ = s
+                    a = a * 0.5
+                    w_t = project_simplex(c.w + a * d)
+                    phi_t, _ = vag(w_t)
+                    return (a, accept(w_t, phi_t), j + 1, w_t, phi_t)
 
-            def ls_body(s):
-                a, _, j, _, _ = s
-                a = a * 0.5
-                w_t = arc(a)
-                phi_t, _ = vag(w_t)
-                return (a, accept(a, w_t, phi_t), j + 1, w_t, phi_t)
+                w_first = project_simplex(c.w + d)
+                phi_first, _ = vag(w_first)
+                _, ok, n, w_t, phi_t = lax.while_loop(
+                    ls_cond,
+                    ls_body,
+                    (
+                        jnp.asarray(1.0, dtype),
+                        accept(w_first, phi_first),
+                        jnp.asarray(1, jnp.int32),
+                        w_first,
+                        phi_first,
+                    ),
+                )
+                return ok, n, w_t, phi_t
 
-            w_first = arc(jnp.asarray(1.0, dtype))
-            phi_first, _ = vag(w_first)
-            _, ok, n_ls, w_new, phi_new = lax.while_loop(
-                ls_cond,
-                ls_body,
-                (
-                    jnp.asarray(1.0, dtype),
-                    accept(1.0, w_first, phi_first),
-                    jnp.asarray(1, jnp.int32),
-                    w_first,
-                    phi_first,
-                ),
+            ok1, n1, w1, phi1 = arc_search(d_first)
+            # If the Newton arc fails, retry along the projected-gradient
+            # direction, which descends unless genuinely stationary — only
+            # ITS failure means we are at the numerical floor.
+            ok2, n2, w2, phi2 = lax.cond(
+                ok1,
+                lambda: (ok1, jnp.asarray(0, jnp.int32), w1, phi1),
+                lambda: arc_search(d_pg),
             )
-            # A failed arc search (40 halvings without sufficient decrease)
-            # means numerical stationarity.
+            ok = ok1 | ok2
+            n_ls = n1 + n2
+            w_new = jnp.where(ok1, w1, w2)
+            phi_new = jnp.where(ok1, phi1, phi2)
             w_new = jnp.where(ok, w_new, c.w)
             phi_new = jnp.where(ok, phi_new, phi)
 
@@ -304,12 +328,11 @@ def make_subproblem_solver(
             # gradient step at the safe step size.
             gm = jnp.linalg.norm(c.w - project_simplex(c.w - grad / Ls))
             stationary = gm <= stat_tol * (1 + jnp.linalg.norm(grad) / Ls)
-            tiny_step = jnp.linalg.norm(w_new - c.w) <= stat_tol * stat_tol
             return Carry(
                 w=w_new,
                 phi=phi_new,
                 k=c.k + 1,
-                done=stationary | tiny_step | (~ok),
+                done=stationary | (~ok),
                 nit=c.nit + n_ls + m + 1,  # m tangents for H + phi evals
             )
 
