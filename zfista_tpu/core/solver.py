@@ -183,6 +183,10 @@ def _make_step(
         )
         return lax.while_loop(cond, body, init)
 
+    # The momentum pair may be python floats (static) or traced jnp scalars
+    # (per-lane data under vmap — how the (a,b)-sweep experiments run the
+    # whole grid as ONE program; reference sweeps spawn a process per pair,
+    # examples/PGM_experiment_with_various_a_b.ipynb).
     a, b = nesterov_ratio
 
     def step(state: State) -> State:

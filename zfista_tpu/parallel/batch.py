@@ -98,6 +98,7 @@ def minimize_proximal_gradient_batch(
     prox_wsum_g: Callable,
     x0s: Any,
     batch_params: Any = None,
+    batch_nesterov_ratio: Any = None,
     lr: float = 1,
     tol: float = 1e-5,
     tol_internal: float = 1e-12,
@@ -119,8 +120,12 @@ def minimize_proximal_gradient_batch(
     with leading axis ``B``), the problem callables take it as a second
     argument: ``f(x, p)``, ``g(x, p)``, ``jac_f(x, p)``,
     ``prox_wsum_g(w, x, p)`` — this is how λ-sweeps and per-lane operators
-    are expressed.  ``in_sharding`` (a ``jax.sharding.Sharding``) places the
-    batch axis on a device mesh; everything else is sharding-agnostic.
+    are expressed.  ``batch_nesterov_ratio`` (shape ``(B, 2)``) gives each
+    lane its own momentum pair ``(a, b)`` — the (a,b)-sweep experiments of
+    the reference papers as ONE device program (the reference runs a joblib
+    process per pair, examples/PGM_experiment_with_various_a_b.ipynb).
+    ``in_sharding`` (a ``jax.sharding.Sharding``) places the batch axis on
+    a device mesh; everything else is sharding-agnostic.
 
     Returns a :class:`BatchResult`; per-solve views via ``.to_list()``.
     """
@@ -169,25 +174,42 @@ def minimize_proximal_gradient_batch(
         f_v, g_v, _, _, _, _ = _normalize_problem(fp, gp, jacp, proxp, x0)
         return init_state(x0, f_v(x0) + g_v(x0), m, lr)
 
-    def lane_step(state: State, p) -> State:
+    has_ab = batch_nesterov_ratio is not None
+    ab_arr = (
+        jnp.asarray(batch_nesterov_ratio, x0s.dtype)
+        if has_ab
+        else jnp.zeros((x0s.shape[0], 2), x0s.dtype)
+    )
+    if has_ab and ab_arr.shape != (x0s.shape[0], 2):
+        raise ValueError(
+            f"batch_nesterov_ratio must be (batch, 2); got {ab_arr.shape}"
+        )
+
+    def lane_step(state: State, p, ab) -> State:
         fp = _bind(f, p)
         gp = _bind(g, p)
         jacp = _bind(jac_f, p) if jac_f is not None else None
         proxp = (lambda w, x: prox_wsum_g(w, x, p)) if has_params else prox_wsum_g
         f_v, g_v, jac_v, prox_v, _, _ = _normalize_problem(fp, gp, jacp, proxp, x0s[0])
-        step = _make_step(f_v, g_v, jac_v, prox_v, m, **static)
+        opts = dict(static)
+        if has_ab:
+            # Traced per-lane momentum pair (see core.solver._make_step).
+            opts["nesterov_ratio"] = (ab[0], ab[1])
+        step = _make_step(f_v, g_v, jac_v, prox_v, m, **opts)
         active = _active(state, max_iter)
         new = step(state)
         return jax.tree.map(lambda a, b: jnp.where(active, a, b), new, state)
 
     if has_params:
         vinit = jax.vmap(lane_init)
-        vstep = jax.vmap(lane_step)
+        vstep = jax.vmap(lane_step, in_axes=(0, 0, 0))
         init_args = (x0s, batch_params)
+        run_step = lambda s: vstep(s, batch_params, ab_arr)
     else:
         vinit = jax.vmap(lambda x0: lane_init(x0, None))
-        vstep = jax.vmap(lambda s: lane_step(s, None))
+        vstep = jax.vmap(lambda s, ab: lane_step(s, None, ab), in_axes=(0, 0))
         init_args = (x0s,)
+        run_step = lambda s: vstep(s, ab_arr)
 
     def any_active(states: State):
         return jnp.any(_active(states, max_iter))
@@ -197,7 +219,7 @@ def minimize_proximal_gradient_batch(
 
         def masked_scan_step(states: State, _):
             active = jax.vmap(partial(_active, max_iter=max_iter))(states)
-            new = vstep(states, batch_params) if has_params else vstep(states)
+            new = run_step(states)
             rec = active & ~new.failed
             return new, (new.F_x, new.err, rec)
 
@@ -223,10 +245,7 @@ def minimize_proximal_gradient_batch(
         @jax.jit
         def run(*args):
             states = vinit(*args)
-            body = (
-                (lambda s: vstep(s, batch_params)) if has_params else vstep
-            )
-            return lax.while_loop(any_active, body, states)
+            return lax.while_loop(any_active, run_step, states)
 
         if in_sharding is not None:
             x0s = jax.device_put(x0s, in_sharding)
