@@ -1,0 +1,71 @@
+"""Native C++ metrics kernels vs the pure-numpy reference implementations:
+exact agreement on random fronts (all objective counts), plus the scale
+regime (N=20k) the numpy path cannot reach without O(N^2) memory."""
+
+import time
+
+import numpy as np
+import pytest
+
+from zfista_tpu import metrics as M
+from zfista_tpu.native import hypervolume_native, load, nd_mask_native
+
+pytestmark = pytest.mark.skipif(
+    load() is None, reason="no C++ toolchain for native kernels"
+)
+
+
+def _numpy_nd_mask(F):
+    le = np.all(F[:, None, :] <= F[None, :, :], axis=-1)
+    lt = np.any(F[:, None, :] < F[None, :, :], axis=-1)
+    return ~(le & lt).any(axis=0)
+
+
+@pytest.mark.parametrize("m", [2, 3, 4])
+def test_nd_mask_matches_numpy(m):
+    rng = np.random.default_rng(0)
+    for n in [1, 2, 10, 100, 700]:
+        F = rng.uniform(0, 1, size=(n, m))
+        np.testing.assert_array_equal(nd_mask_native(F), _numpy_nd_mask(F))
+    # ties and duplicates
+    F = np.array([[0.5, 0.5], [0.5, 0.5], [0.4, 0.6], [0.6, 0.6]])
+    if m == 2:
+        np.testing.assert_array_equal(nd_mask_native(F), _numpy_nd_mask(F))
+
+
+@pytest.mark.parametrize("m", [2, 3])
+def test_hypervolume_matches_python_wfg(m):
+    rng = np.random.default_rng(1)
+    ref = np.ones(m)
+    for n in [1, 5, 40]:
+        P = rng.uniform(0, 1, size=(n, m)) * 0.95
+        hv_c = hypervolume_native(P, ref)
+        hv_py = float(M._wfg(P[M.non_dominated_mask(P)], ref))
+        np.testing.assert_allclose(hv_c, hv_py, rtol=1e-12)
+
+
+def test_nd_mask_scales_to_20k():
+    rng = np.random.default_rng(2)
+    F = rng.uniform(0, 1, size=(20_000, 2))
+    t0 = time.perf_counter()
+    mask = nd_mask_native(F)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 1.0  # O(N log N); numpy pairwise would need ~3 GB
+    front = F[mask]
+    # validity: no front point dominated by any other point (spot check)
+    sub = front[rng.choice(len(front), min(50, len(front)), replace=False)]
+    for p in sub:
+        dom = np.all(F <= p, axis=1) & np.any(F < p, axis=1)
+        assert not dom.any()
+
+
+def test_metrics_layer_uses_native_transparently():
+    # route through the public metrics API above the N>512 threshold
+    rng = np.random.default_rng(3)
+    F = rng.uniform(0, 1, size=(2000, 3))
+    mask = M.non_dominated_mask(F)
+    np.testing.assert_array_equal(mask, _numpy_nd_mask(F))
+    hv = M.hypervolume(F, ref_point=np.ones(3))
+    # spot value vs python path on the (small) non-dominated subset
+    hv_py = float(M._wfg(F[mask], np.ones(3)))
+    np.testing.assert_allclose(hv, hv_py, rtol=1e-12)

@@ -49,11 +49,22 @@ def non_dominated_mask(F: np.ndarray) -> np.ndarray:
     A point is dominated iff some other point is <= in every objective and
     < in at least one.  Duplicate points are all kept (they tie), matching
     the sorting behavior the reference relies on for its set intersections.
+
+    Large inputs route to the native C++ kernel
+    (:mod:`zfista_tpu.native`: O(N log N) for m=2, no N² memory in
+    general); small inputs and toolchain-less environments use the
+    vectorized numpy path below.
     """
     F = np.asarray(F, dtype=float)
     n = len(F)
     if n == 0:
         return np.zeros(0, dtype=bool)
+    if n > 512:
+        from zfista_tpu.native import nd_mask_native
+
+        mask = nd_mask_native(F)
+        if mask is not None:
+            return mask
     le = np.all(F[:, None, :] <= F[None, :, :], axis=-1)  # i dominates-or-ties j
     lt = np.any(F[:, None, :] < F[None, :, :], axis=-1)
     dominates = le & lt  # strict Pareto domination i -> j
@@ -127,6 +138,12 @@ def hypervolume(
         raise ValueError("provide front_true or ref_point")
     # Only points strictly better than the reference corner contribute.
     pts = pts[np.all(pts < ref, axis=1)]
+    if len(pts) > 64:
+        from zfista_tpu.native import hypervolume_native
+
+        hv = hypervolume_native(pts, ref)
+        if hv is not None:
+            return hv
     return float(_wfg(pts, ref))
 
 
