@@ -1,0 +1,75 @@
+"""Checkpoint/resume: a solve interrupted at iteration k and resumed from
+its saved state must finish bitwise identical to the uninterrupted solve."""
+
+import numpy as np
+
+from zfista_tpu import minimize_proximal_gradient
+from zfista_tpu.models.zoo import JOS1
+from zfista_tpu.utils.checkpoint import load_state, save_state
+
+
+def test_resume_bitwise_identical(tmp_path):
+    prob = JOS1(n_features=5)
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-2, 4, size=5)
+    opts = dict(nesterov=True, max_iter=200)
+
+    full = prob.minimize_proximal_gradient(x0, **opts)
+    assert full.success
+
+    # interrupt at 7 iterations, checkpoint, reload, resume
+    part = prob.minimize_proximal_gradient(x0, nesterov=True, max_iter=7, tol=0.0)
+    ckpt = tmp_path / "solve.npz"
+    save_state(part.state, ckpt)
+    state = load_state(ckpt)
+    resumed = minimize_proximal_gradient(
+        prob.f,
+        prob.g,
+        prob.jac_f,
+        prob.prox_wsum_g,
+        x0,
+        initial_state=state,
+        **opts,
+    )
+    assert resumed.success
+    assert resumed.nit == full.nit
+    np.testing.assert_array_equal(resumed.x, full.x)
+    np.testing.assert_array_equal(np.asarray(resumed.fun), np.asarray(full.fun))
+
+
+def test_state_roundtrip_batched(tmp_path):
+    from zfista_tpu.parallel.batch import minimize_proximal_gradient_batch
+
+    prob = JOS1(n_features=5)
+    rng = np.random.default_rng(1)
+    x0s = rng.uniform(-2, 4, size=(4, 5))
+    res = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, nesterov=True
+    )
+    # batched final states round-trip through npz
+    import jax
+
+    from zfista_tpu.core.solver import State
+
+    # reconstruct a batched state from the result fields isn't exposed;
+    # check the npz round-trip on a hand-built batched pytree instead.
+    state = State(
+        x=res.x,
+        x_prev=res.x,
+        y=res.x,
+        F_x=np.atleast_2d(res.fun).reshape(len(res.x), -1),
+        lr=res.lr,
+        t=np.ones(len(res.x)),
+        w=res.weight,
+        err=res.error_criterion,
+        sub_fun=np.zeros(len(res.x)),
+        nit=res.nit,
+        nit_internal=res.nit_internal,
+        converged=res.success,
+        failed=res.status == 2,
+    )
+    p = tmp_path / "batch.npz"
+    save_state(jax.tree.map(lambda a: np.asarray(a), state), p)
+    loaded = load_state(p)
+    for a, b in zip(loaded, state):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -353,6 +353,7 @@ def minimize_proximal_gradient(
     verbose: bool = False,
     deprecated: bool = False,
     history_chunk: int = 512,
+    initial_state: State | None = None,
 ) -> SolveResult:
     r"""Minimize :math:`F(x) = f(x) + g(x)` (scalar- or vector-valued).
 
@@ -364,6 +365,11 @@ def minimize_proximal_gradient(
     Returns a :class:`SolveResult` with fields
     ``x, fun, success, status, message, nit, nit_internal, time, weight``
     and, when ``return_all``, ``allvecs / allfuns / allerrs``.
+
+    ``initial_state`` resumes from a checkpointed :class:`State`
+    (:mod:`zfista_tpu.utils.checkpoint`); the continuation is bitwise
+    identical to the uninterrupted run.  Solver options are not stored in
+    the state — pass the same ones.
     """
     if deprecated:
         warnings.warn(
@@ -407,7 +413,7 @@ def minimize_proximal_gradient(
         print("|" + "|".join("-" * w for w in widths) + "|")
 
     F0 = f_v(x0) + g_v(x0)
-    state = init_state(x0, F0, m, lr)
+    state = initial_state if initial_state is not None else init_state(x0, F0, m, lr)
 
     if return_all:
         chunk = int(history_chunk)
@@ -462,6 +468,7 @@ def minimize_proximal_gradient(
         allvecs=allvecs,
         allfuns=allfuns,
         allerrs=allerrs,
+        state=state,  # resumable carry (utils.checkpoint / initial_state)
     )
     if failed:
         res.success = False

@@ -1,0 +1,35 @@
+"""Solver-state checkpoint/resume.
+
+The reference has no solver checkpointing; its only resume granularity is
+the benchmark harness's per-(problem x variant) pickle cache
+(reference: benchmarks/benchmark.py:279-300 — kept, see
+zfista_tpu/bench/harness.py).  Because our entire solve state is ONE pytree
+(:class:`zfista_tpu.core.solver.State`), per-iteration checkpointing is a
+flat npz dump, and any solve can resume exactly where it stopped via
+``minimize_proximal_gradient(..., initial_state=...)`` — bitwise identical
+to the uninterrupted run (the iteration is deterministic).
+
+Batched states (leading lane axis) round-trip the same way.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from zfista_tpu.core.solver import State
+
+
+def save_state(state: State, path) -> None:
+    """Serialize a solver :class:`State` (single or batched) to ``.npz``."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **{k: np.asarray(v) for k, v in state._asdict().items()})
+
+
+def load_state(path) -> State:
+    """Load a :class:`State` saved by :func:`save_state`."""
+    with np.load(Path(path)) as data:
+        return State(**{k: jnp.asarray(data[k]) for k in State._fields})
