@@ -18,26 +18,30 @@ import time
 import numpy as np
 
 
-def _reference_style_cpu_iters_per_s(A, b, lam, lr, n_iter=50):
+def _reference_style_cpu_iters_per_s(A, b, lam, lr, n_iter=100, repeats=3):
     """Classic FISTA iteration in numpy — the reference's compute pattern
-    (gradient matvecs + soft-threshold + momentum, float64, host CPU)."""
+    (gradient matvecs + soft-threshold + momentum, float64, host CPU).
+    Best of ``repeats`` timed runs after a warmup, so the ratio is against
+    the host CPU at its fastest (conservative for the TPU number)."""
     A = np.asarray(A, np.float64)
     b = np.asarray(b, np.float64)
-    x = np.zeros(A.shape[1])
-    y = x.copy()
-    t = 1.0
-    # warmup one iteration (BLAS init)
-    r = A @ y - b
-    start = time.perf_counter()
-    for _ in range(n_iter):
-        grad = 2 * (A.T @ (A @ y - b))
-        z = y - lr * grad
-        x_new = np.sign(z) * np.maximum(np.abs(z) - lr * lam, 0)
-        t_new = np.sqrt(t * t + 0.25) + 0.5
-        y = x_new + ((t - 1) / t_new) * (x_new - x)
-        x, t = x_new, t_new
-    elapsed = time.perf_counter() - start
-    return n_iter / elapsed
+
+    def run_once():
+        x = np.zeros(A.shape[1])
+        y = x.copy()
+        t = 1.0
+        start = time.perf_counter()
+        for _ in range(n_iter):
+            grad = 2 * (A.T @ (A @ y - b))
+            z = y - lr * grad
+            x_new = np.sign(z) * np.maximum(np.abs(z) - lr * lam, 0)
+            t_new = np.sqrt(t * t + 0.25) + 0.5
+            y = x_new + ((t - 1) / t_new) * (x_new - x)
+            x, t = x_new, t_new
+        return time.perf_counter() - start
+
+    run_once()  # warmup (BLAS init, page faults)
+    return n_iter / min(run_once() for _ in range(repeats))
 
 
 def main() -> None:
@@ -62,20 +66,23 @@ def main() -> None:
     L = float(2 * operator_norm_sq(A, 100))
     lr = jnp.asarray(1.0 / L, dev_dtype)
 
-    n_iter = 1000
+    n_iter = 4000
 
     @jax.jit
-    def run(carry):
+    def run(A, b, carry):
+        # A/b as arguments (not closure constants), unroll=8 to amortize the
+        # loop-trip dispatch overhead that otherwise dominates ~200us-scale
+        # fixed-step iterations (4.4x measured on v5e; BENCHMARKS.md).
         def body(_, c):
             return fista_step_dense(A, b, lam, lr, c)
 
-        return lax.fori_loop(0, n_iter, body, carry)
+        return lax.fori_loop(0, n_iter, body, carry, unroll=8)
 
     x0 = jnp.zeros((n,), dev_dtype)
     carry0 = (x0, x0, jnp.asarray(1.0, dev_dtype))
-    jax.block_until_ready(run(carry0))  # compile + warm
+    jax.block_until_ready(run(A, b, carry0))  # compile + warm
     start = time.perf_counter()
-    out = jax.block_until_ready(run(carry0))
+    out = jax.block_until_ready(run(A, b, carry0))
     elapsed = time.perf_counter() - start
     iters_per_s = n_iter / elapsed
 

@@ -73,3 +73,17 @@ def test_state_roundtrip_batched(tmp_path):
     loaded = load_state(p)
     for a, b in zip(loaded, state):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_check_every_bitwise_identical():
+    # check_every>1 masks frozen states inside the inner unrolled loop, so
+    # the final state (including nit) must be bitwise identical.
+    prob = JOS1(n_features=5)
+    rng = np.random.default_rng(2)
+    x0 = rng.uniform(-2, 4, size=5)
+    base = prob.minimize_proximal_gradient(x0, nesterov=True)
+    for k in [2, 4, 7]:
+        fast = prob.minimize_proximal_gradient(x0, nesterov=True, check_every=k)
+        assert fast.nit == base.nit
+        np.testing.assert_array_equal(fast.x, base.x)
+        assert fast.success == base.success

@@ -47,6 +47,7 @@ batches and compiles into the outer solver loop as a single XLA program.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
@@ -54,6 +55,13 @@ from jax import lax
 
 from zfista_tpu._typing import Array
 from zfista_tpu.ops.prox import project_simplex
+
+# All products in the dual are exact f32/f64: under vmap they lower to MXU
+# matmuls whose TPU default precision is bf16 — enough noise to keep the
+# outer solver's error criterion from ever reaching tol (the solver
+# plateaus at ~1e-3).  GEMV/small-matmul here is bandwidth-bound, so full
+# precision costs nothing.
+_DOT = partial(jnp.matmul, precision=lax.Precision.HIGHEST)
 
 
 class SubproblemResult(NamedTuple):
@@ -74,11 +82,11 @@ def _make_dual(f_y, jac_f_y, F_old, g, prox_wsum_g, lr, y, deprecated: bool):
     shift = jnp.zeros_like(f_y) if deprecated else F_old - f_y
 
     def primal_at(w: Array) -> Array:
-        u = y - lr * (w @ jac_f_y)
+        u = y - lr * _DOT(w, jac_f_y)
         return prox_wsum_g(lr * w, u)
 
     def value_and_grad(w: Array):
-        wsum_jac = w @ jac_f_y
+        wsum_jac = _DOT(w, jac_f_y)
         u = y - lr * wsum_jac
         x_w = prox_wsum_g(lr * w, u)
         g_xw = g(x_w)
@@ -89,7 +97,7 @@ def _make_dual(f_y, jac_f_y, F_old, g, prox_wsum_g, lr, y, deprecated: bool):
             + (lr / 2) * jnp.dot(wsum_jac, wsum_jac)
             + jnp.dot(w, shift)
         )
-        grad = -g_xw - jac_f_y @ (x_w - y) + shift
+        grad = -g_xw - _DOT(jac_f_y, x_w - y) + shift
         return fun, grad
 
     return primal_at, value_and_grad
@@ -152,16 +160,29 @@ def make_subproblem_solver(
             psi0 = psi(zero)
             psi1 = psi(one)
 
+            # Early exit at the dtype's resolution: in f32 the interval
+            # bottoms out after ~24 halvings, so the static worst case
+            # (n_bisect=40 at tol=1e-12) would waste ~40% of dual evals.
+            width_floor = jnp.asarray(
+                max(tol, (2.3e-16 if dtype == jnp.float64 else 1.2e-7)), dtype
+            )
+
             def bisect(_):
-                def body(_, carry):
-                    lo, hi = carry
+                def cond(carry):
+                    lo, hi, k = carry
+                    return (hi - lo > width_floor) & (k < n_bisect)
+
+                def body(carry):
+                    lo, hi, k = carry
                     mid = (lo + hi) / 2
                     pm = psi(mid)
                     lo = jnp.where(pm < 0, mid, lo)
                     hi = jnp.where(pm < 0, hi, mid)
-                    return lo, hi
+                    return lo, hi, k + 1
 
-                lo, hi = lax.fori_loop(0, n_bisect, body, (zero, one))
+                lo, hi, _ = lax.while_loop(
+                    cond, body, (zero, one, jnp.asarray(0, jnp.int32))
+                )
                 return (lo + hi) / 2
 
             # phi convex => psi nondecreasing. Interior solution iff
@@ -216,7 +237,7 @@ def make_subproblem_solver(
         # Gradient-mapping scale: lambda_max of the full Gram bounds the
         # dual's curvature; used for the PG fallback step and the
         # stationarity measure.
-        lam_max = jnp.linalg.eigvalsh(jac_f_y @ jac_f_y.T)[-1]
+        lam_max = jnp.linalg.eigvalsh(_DOT(jac_f_y, jac_f_y.T))[-1]
         Ls = jnp.maximum(lr * lam_max, jnp.asarray(1.0, dtype))
 
         w_start = project_simplex(w0.astype(dtype))

@@ -109,7 +109,11 @@ def make_blur(kernel: np.ndarray):
         x = img[None, None, :, :]
         w = k[None, None, :, :].astype(img.dtype)
         out = lax.conv_general_dilated(
-            x, w, window_strides=(1, 1), padding="SAME"
+            x,
+            w,
+            window_strides=(1, 1),
+            padding="SAME",
+            precision=lax.Precision.HIGHEST,  # bf16 conv floors convergence
         )
         return out[0, 0]
 

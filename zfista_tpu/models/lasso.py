@@ -37,6 +37,12 @@ from zfista_tpu.core.solver import minimize_proximal_gradient
 from zfista_tpu.models.base import Problem
 from zfista_tpu.ops.prox import soft_threshold
 
+# Exact f32 products: under vmap these matvecs become MXU matmuls whose TPU
+# default precision is bf16 — the resulting gradient noise floors the
+# solver at ~1e-3.  Bandwidth-bound either way; HIGHEST measured at-or-
+# faster than DEFAULT on v5e (BENCHMARKS.md).
+_DOT = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
 
 @partial(jax.jit, static_argnames=("n_iter",))
 def operator_norm_sq(A: Array, n_iter: int = 50, seed: int = 0) -> Array:
@@ -46,11 +52,11 @@ def operator_norm_sq(A: Array, n_iter: int = 50, seed: int = 0) -> Array:
     v0 = v0 / jnp.linalg.norm(v0)
 
     def body(_, v):
-        w = A.T @ (A @ v)
+        w = _DOT(A.T, _DOT(A, v))
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
 
     v = lax.fori_loop(0, n_iter, body, v0)
-    w = A.T @ (A @ v)
+    w = _DOT(A.T, _DOT(A, v))
     return jnp.dot(v, w)
 
 
@@ -74,14 +80,14 @@ class Lasso(Problem):
         )
 
     def f(self, x: Array) -> Array:
-        r = self.A @ x - self.b
+        r = _DOT(self.A, x) - self.b
         val = jnp.dot(r, r)
         if self.l2_ratio:
             val = val + 0.5 * self.l2_ratio * jnp.dot(x, x)
         return jnp.reshape(val, (1,))
 
     def jac_f(self, x: Array) -> Array:
-        grad = 2 * (self.A.T @ (self.A @ x - self.b))
+        grad = 2 * _DOT(self.A.T, _DOT(self.A, x) - self.b)
         if self.l2_ratio:
             grad = grad + self.l2_ratio * x
         return jnp.reshape(grad, (1, -1))
@@ -119,11 +125,11 @@ def make_lasso_lambda_sweep(A, b):
     b = jnp.asarray(b)
 
     def f(x, lam):
-        r = A @ x - b
+        r = _DOT(A, x) - b
         return jnp.reshape(jnp.dot(r, r), (1,))
 
     def jac_f(x, lam):
-        return jnp.reshape(2 * (A.T @ (A @ x - b)), (1, -1))
+        return jnp.reshape(2 * _DOT(A.T, _DOT(A, x) - b), (1, -1))
 
     def g(x, lam):
         return jnp.reshape(lam * jnp.sum(jnp.abs(x)), (1,))
@@ -141,8 +147,50 @@ def fista_step_dense(A: Array, b: Array, lam: Array, lr: Array, carry):
     ``__graft_entry__.entry`` and the Pallas-vs-XLA kernel benchmarks.
     """
     x, y, t = carry
-    grad = 2 * (A.T @ (A @ y - b))
+    grad = 2 * _DOT(A.T, _DOT(A, y) - b)
     x_new = soft_threshold(y - lr * grad, lr * lam)
     t_new = jnp.sqrt(t * t + 0.25) + 0.5
     y_new = x_new + ((t - 1) / t_new) * (x_new - x)
     return x_new, y_new, t_new
+
+
+class GroupLasso(Problem):
+    r"""``F(x) = ||A x - b||^2 + lam * sum_g ||x_g||_2`` with contiguous
+    equal-size feature groups (block soft-threshold prox).
+
+    The reference has no group-lasso problem; this is the grouped-sparsity
+    workload of the build targets (group-lasso sweep, BASELINE configs[2]),
+    built on :func:`zfista_tpu.ops.prox.prox_group_lasso`.
+    """
+
+    def __init__(self, A, b, l1_ratio: float, group_size: int) -> None:
+        self.A = jnp.asarray(A)
+        self.b = jnp.asarray(b)
+        self.l1_ratio = float(l1_ratio)
+        self.group_size = int(group_size)
+        if self.A.shape[1] % self.group_size:
+            raise ValueError("n_features must divide by group_size")
+        super().__init__(n_features=self.A.shape[1], n_objectives=1)
+
+    def f(self, x: Array) -> Array:
+        r = _DOT(self.A, x) - self.b
+        return jnp.reshape(jnp.dot(r, r), (1,))
+
+    def jac_f(self, x: Array) -> Array:
+        return jnp.reshape(2 * _DOT(self.A.T, _DOT(self.A, x) - self.b), (1, -1))
+
+    def g(self, x: Array) -> Array:
+        v = x.reshape(-1, self.group_size)
+        return jnp.reshape(
+            self.l1_ratio * jnp.sum(jnp.sqrt(jnp.sum(v * v, axis=-1))), (1,)
+        )
+
+    def prox_wsum_g(self, weight, x: Array) -> Array:
+        from zfista_tpu.ops.prox import prox_group_lasso
+
+        return prox_group_lasso(
+            x, jnp.asarray(weight) * self.l1_ratio, self.group_size
+        )
+
+    def lipschitz(self, n_iter: int = 50) -> float:
+        return float(2 * operator_norm_sq(self.A, n_iter))

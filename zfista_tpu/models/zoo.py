@@ -10,12 +10,19 @@ Analytic Jacobians are provided (and tested against autodiff).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Sequence
 
 import jax.numpy as jnp
+from jax import lax
 
 from zfista_tpu._typing import Array
 from zfista_tpu.models.base import Problem
+
+# Exact products: under vmap these contractions lower to MXU matmuls whose
+# TPU default precision is bf16, which floors the solver's convergence
+# (see DESIGN.md precision policy).
+_dot = partial(jnp.dot, precision=lax.Precision.HIGHEST)
 
 _SQRT2 = math.sqrt(2.0)
 
@@ -38,7 +45,7 @@ class JOS1(Problem):
 
     def f(self, x: Array) -> Array:
         n = self.n_features
-        return jnp.stack([jnp.dot(x, x) / n, jnp.dot(x - 2, x - 2) / n])
+        return jnp.stack([_dot(x, x) / n, _dot(x - 2, x - 2) / n])
 
     def jac_f(self, x: Array) -> Array:
         n = self.n_features
@@ -57,7 +64,7 @@ class SD(Problem):
         super().__init__(4, 2, bounds=(1e-6, jnp.inf))
 
     def f(self, x: Array) -> Array:
-        return jnp.stack([jnp.dot(self._C1, x), jnp.sum(self._C2 / x)])
+        return jnp.stack([_dot(self._C1, x), jnp.sum(self._C2 / x)])
 
     def jac_f(self, x: Array) -> Array:
         return jnp.stack([self._C1.astype(x.dtype), -self._C2 / x**2])
@@ -85,9 +92,9 @@ class FDS(Problem):
     def f(self, x: Array) -> Array:
         n = self.n_features
         k = self._k.astype(x.dtype)
-        f1 = jnp.dot(k, (x - k) ** 4) / n**2
-        f2 = jnp.exp(jnp.sum(x) / n) + jnp.dot(x, x)
-        f3 = jnp.dot(self._conv.astype(x.dtype), jnp.exp(-x)) / (n * (n + 1))
+        f1 = _dot(k, (x - k) ** 4) / n**2
+        f2 = jnp.exp(jnp.sum(x) / n) + _dot(x, x)
+        f3 = _dot(self._conv.astype(x.dtype), jnp.exp(-x)) / (n * (n + 1))
         return jnp.stack([f1, f2, f3])
 
     def jac_f(self, x: Array) -> Array:
@@ -204,10 +211,10 @@ class LinearFunctionRank1(Problem):
     def f(self, x: Array) -> Array:
         i = self._i.astype(x.dtype)
         j = self._j.astype(x.dtype)
-        return (i * jnp.dot(j, x) - 1) ** 2
+        return (i * _dot(j, x) - 1) ** 2
 
     def jac_f(self, x: Array) -> Array:
         i = self._i.astype(x.dtype)
         j = self._j.astype(x.dtype)
-        r = i * jnp.dot(j, x) - 1  # (m,)
+        r = i * _dot(j, x) - 1  # (m,)
         return 2 * (i * r)[:, None] * j[None, :]

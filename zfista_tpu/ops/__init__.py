@@ -2,6 +2,7 @@
 
 from zfista_tpu.ops.prox import (
     make_wsum_shifted_l1_box_prox,
+    prox_group_lasso,
     project_box,
     project_simplex,
     prox_l1,
@@ -16,4 +17,5 @@ __all__ = [
     "project_box",
     "project_simplex",
     "make_wsum_shifted_l1_box_prox",
+    "prox_group_lasso",
 ]

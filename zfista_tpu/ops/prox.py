@@ -107,3 +107,20 @@ def make_wsum_shifted_l1_box_prox(
         return x
 
     return prox
+
+
+def prox_group_lasso(x: Array, scale: ArrayLike, group_size: int) -> Array:
+    r"""Prox of ``scale * sum_g ||x_g||_2`` for contiguous equal-size groups.
+
+    Block soft-thresholding: each group ``v`` maps to
+    ``v * max(1 - scale/||v||, 0)``.  ``group_size`` is static so the
+    reshape is shape-stable under jit/vmap (the idiomatic TPU layout for
+    grouped features; ragged groups should be padded upstream).
+    """
+    n = x.shape[-1]
+    if n % group_size:
+        raise ValueError(f"n={n} not divisible by group_size={group_size}")
+    v = x.reshape(*x.shape[:-1], n // group_size, group_size)
+    norms = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    shrink = jnp.maximum(1.0 - jnp.asarray(scale) / jnp.maximum(norms, 1e-30), 0.0)
+    return (v * shrink).reshape(x.shape)
