@@ -81,6 +81,7 @@ def main() -> None:
         decay_rate=1,
         tol=args.tol,
         max_iter=args.max_iter,
+        check_every=8,
     )
     total = time.perf_counter() - t0
 

@@ -113,6 +113,7 @@ def minimize_proximal_gradient_batch(
     history: bool = False,
     history_chunk: int = 256,
     in_sharding: Any = None,
+    check_every: int = 1,
 ) -> BatchResult:
     r"""Solve a batch of independent problems as one vmapped XLA program.
 
@@ -245,7 +246,23 @@ def minimize_proximal_gradient_batch(
         @jax.jit
         def run(*args):
             states = vinit(*args)
-            return lax.while_loop(any_active, run_step, states)
+            if check_every == 1:
+                return lax.while_loop(any_active, run_step, states)
+            # Amortize loop-trip overhead: the predicate (a cross-lane
+            # any-reduce, an all-reduce under sharding) is evaluated every
+            # check_every steps; lanes are masked per step, so results are
+            # bitwise identical (see core.solver.make_while_driver).
+            return lax.while_loop(
+                any_active,
+                lambda s: lax.fori_loop(
+                    0,
+                    int(check_every),
+                    lambda _, c: run_step(c),
+                    s,
+                    unroll=min(int(check_every), 8),
+                ),
+                states,
+            )
 
         if in_sharding is not None:
             x0s = jax.device_put(x0s, in_sharding)
