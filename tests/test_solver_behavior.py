@@ -132,3 +132,21 @@ def test_sd_ista_trajectory_parity_vs_reference():
                 **opts,
             )
         np.testing.assert_allclose(ours.x, theirs.x, atol=1e-8)
+
+
+def test_adaptive_restart_converges_and_helps_on_jos1():
+    # The easy-JOS1 case where plain FISTA oscillates near tolerance and
+    # ends up using MORE iterations than ISTA; restart should fix the
+    # ripple without changing the answer.
+    prob = JOS1(n_features=5)
+    rng = np.random.default_rng(6)
+    worse = 0
+    for x0 in rng.uniform(-2, 4, size=(5, 5)):
+        plain = prob.minimize_proximal_gradient(x0, nesterov=True)
+        restarted = prob.minimize_proximal_gradient(
+            x0, nesterov=True, adaptive_restart=True
+        )
+        assert restarted.success
+        np.testing.assert_allclose(restarted.x, plain.x, atol=1e-4)
+        worse += restarted.nit > plain.nit
+    assert worse <= 1  # restart at least ties on nearly every start

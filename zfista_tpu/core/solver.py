@@ -102,6 +102,7 @@ def _make_step(
     nesterov_ratio: tuple[float, float],
     deprecated: bool,
     verbose: bool,
+    adaptive_restart: bool = False,
 ) -> Callable[[State], State]:
     """Build the jittable outer-iteration step (all options static)."""
     solve_sub = make_subproblem_solver(
@@ -199,8 +200,17 @@ def _make_step(
         converged_now = (err < tol) & ls.done
 
         if nesterov:
-            t_new = jnp.sqrt(state.t**2 - a * state.t + b) + 0.5
-            gamma = (state.t - 1) / t_new
+            t_k = state.t
+            if adaptive_restart:
+                # O'Donoghue & Candes gradient-scheme restart: reset the
+                # momentum when the step opposes the previous direction
+                # (kills the characteristic FISTA ripple near tolerance;
+                # opt-in — the reference has no restart, and trajectories
+                # with it on diverge from reference trajectories).
+                osc = jnp.dot(state.y - ls.x, ls.x - state.x) > 0
+                t_k = jnp.where(osc, jnp.ones_like(t_k), t_k)
+            t_new = jnp.sqrt(t_k**2 - a * t_k + b) + 0.5
+            gamma = (t_k - 1) / t_new
             y_new = ls.x + gamma * (ls.x - state.x)
         else:
             t_new = state.t
@@ -387,6 +397,7 @@ def minimize_proximal_gradient(
     history_chunk: int = 512,
     initial_state: State | None = None,
     check_every: int = 1,
+    adaptive_restart: bool = False,
 ) -> SolveResult:
     r"""Minimize :math:`F(x) = f(x) + g(x)` (scalar- or vector-valued).
 
@@ -435,6 +446,7 @@ def minimize_proximal_gradient(
         nesterov_ratio=tuple(nesterov_ratio),
         deprecated=deprecated,
         verbose=verbose,
+        adaptive_restart=bool(adaptive_restart),
     )
     max_iter = int(max_iter)
 
