@@ -1,0 +1,82 @@
+"""Benchmark-harness unit tests: problem sweep composition, performance
+profiles, cache behavior, and one end-to-end mini cell with artifacts."""
+
+import json
+
+import numpy as np
+
+from zfista_tpu.bench.harness import (
+    benchmark,
+    initialize_problems,
+    load_or_run_results,
+    performance_profiles,
+)
+from zfista_tpu.metrics import calculate_metrics
+from zfista_tpu.models.zoo import JOS1
+
+
+def test_initialize_problems_sweep():
+    probs = initialize_problems(large=False)
+    names = [p.name for p, _, _ in probs]
+    # plain + L1 variants for JOS1, bounded problems present
+    assert any(n == "JOS1_n_5" for n in names)
+    assert any("l1_ratios" in n and n.startswith("JOS1_n_5") for n in names)
+    assert any(n.startswith("SD_n_4_bounds") for n in names)
+    assert any(n.startswith("ZDT1_n_50") for n in names)
+    assert any(n.startswith("FDS_n_10_bounds") for n in names)
+    large = initialize_problems(large=True)
+    assert len(large) > len(probs)
+    assert any(p.name == "JOS1_n_1000" for p, _, _ in large)
+
+
+def test_benchmark_and_metrics_cell(tmp_path):
+    prob = JOS1(n_features=5)
+    results = load_or_run_results(
+        prob, -2, 4, tmp_path, n_samples=4, max_iter=2000, history=False
+    )
+    assert set(results) == {"Normal", "Accelerated", "Accelerated (deprecated)"}
+    for res_list in results.values():
+        assert len(res_list) == 4
+        assert all(r.success for r in res_list)
+    metrics, ratios = calculate_metrics(*results.items())
+    assert set(metrics) == {
+        "Hypervolume",
+        "Gamma",
+        "Delta",
+        "Purity",
+        "Error rate",
+        "Avg computation time",
+        "Avg iterations",
+        "Avg internal iterations",
+    }
+    # cache hit: second call returns identical payload without re-solving
+    again = load_or_run_results(prob, -2, 4, tmp_path, n_samples=4)
+    np.testing.assert_array_equal(
+        again["Normal"][0].x, results["Normal"][0].x
+    )
+    assert (tmp_path / f"{prob.name}.pkl").exists()
+
+
+def test_performance_profiles_shape():
+    ratios_all = {
+        "p1": {"Avg iterations": {"A": 1.0, "B": 2.0}},
+        "p2": {"Avg iterations": {"A": 1.5, "B": 1.0}},
+    }
+    prof = performance_profiles(ratios_all)
+    tau, frac = prof["Avg iterations"]["A"]
+    np.testing.assert_allclose(tau, [1.0, 1.5])
+    np.testing.assert_allclose(frac, [0.5, 1.0])
+
+
+def test_benchmark_history_plots(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from zfista_tpu.bench import plots
+
+    prob = JOS1(n_features=5)
+    results = benchmark(prob, -2, 4, n_samples=3, max_iter=2000, history=True)
+    fig = plots.show_pareto_front(results, prob, save_to=tmp_path / "pf.pdf")
+    plots.show_error_decay(results, save_to=tmp_path / "ed.pdf")
+    assert (tmp_path / "pf.pdf").stat().st_size > 0
+    assert (tmp_path / "ed.pdf").stat().st_size > 0

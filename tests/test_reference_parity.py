@@ -221,3 +221,34 @@ def test_rank1_dual_value_parity():
         phi_ours = float(vag(ours.weight)[0])
         phi_ref = float(vag(jnp.asarray(theirs.weight))[0])
         assert phi_ours <= phi_ref + 1e-12 * (1 + abs(phi_ref))
+
+
+def test_return_all_histories_match_reference():
+    """allvecs/allfuns/allerrs must have the reference's exact lengths and
+    contents (x0 included as the first entry; errs one shorter)."""
+    f_np = lambda x: (x[0] - 1.0) ** 2
+    g_np = lambda x: 0.1 * abs(x[0])
+    jac_np = lambda x: np.asarray([2 * (x[0] - 1.0)])
+    prox_np = lambda t, x: np.sign(x) * np.maximum(np.abs(x) - 0.1 * t, 0)
+    theirs = ref_minimize(
+        f_np, g_np, jac_np, prox_np, np.array([3.0]),
+        lr=0.4, nesterov=True, return_all=True,
+    )
+    ours = minimize_proximal_gradient(
+        lambda x: (x[0] - 1.0) ** 2,
+        lambda x: 0.1 * jnp.abs(x[0]),
+        None,
+        lambda t, x: jnp.sign(x) * jnp.maximum(jnp.abs(x) - 0.1 * t, 0),
+        np.array([3.0]),
+        lr=0.4,
+        nesterov=True,
+        return_all=True,
+    )
+    assert len(ours.allvecs) == len(theirs.allvecs)
+    assert len(ours.allfuns) == len(theirs.allfuns)
+    assert len(ours.allerrs) == len(theirs.allerrs)
+    np.testing.assert_allclose(
+        np.asarray(ours.allvecs), np.asarray(theirs.allvecs), atol=1e-12
+    )
+    np.testing.assert_allclose(ours.allfuns, theirs.allfuns, atol=1e-12)
+    np.testing.assert_allclose(ours.allerrs, theirs.allerrs, atol=1e-12)

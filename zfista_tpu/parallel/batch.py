@@ -114,6 +114,7 @@ def minimize_proximal_gradient_batch(
     history_chunk: int = 256,
     in_sharding: Any = None,
     check_every: int = 1,
+    adaptive_restart: bool = False,
 ) -> BatchResult:
     r"""Solve a batch of independent problems as one vmapped XLA program.
 
@@ -164,6 +165,7 @@ def minimize_proximal_gradient_batch(
         nesterov_ratio=tuple(nesterov_ratio),
         deprecated=deprecated,
         verbose=False,
+        adaptive_restart=bool(adaptive_restart),
     )
     max_iter = int(max_iter)
 
