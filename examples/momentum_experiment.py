@@ -25,6 +25,7 @@ def main() -> None:
     parser.add_argument("--n-starts", type=int, default=1000)
     parser.add_argument("--out", type=Path, default=Path("examples/data"))
     parser.add_argument("--max-iter", type=int, default=10_000)
+    parser.add_argument("--lane-chunk", type=int, default=None)
     args = parser.parse_args()
 
     from zfista_tpu.bench.momentum_sweep import momentum_sweep, write_ab_csv
@@ -44,7 +45,12 @@ def main() -> None:
     ]
     for name, prob, low, high in suite:
         rows, _ = momentum_sweep(
-            prob, low, high, n_starts=args.n_starts, max_iter=args.max_iter
+            prob,
+            low,
+            high,
+            n_starts=args.n_starts,
+            max_iter=args.max_iter,
+            lane_chunk=args.lane_chunk,
         )
         out = args.out / f"{name}_ab.csv"
         write_ab_csv(rows, out)

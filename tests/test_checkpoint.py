@@ -87,3 +87,23 @@ def test_check_every_bitwise_identical():
         assert fast.nit == base.nit
         np.testing.assert_array_equal(fast.x, base.x)
         assert fast.success == base.success
+
+
+def test_batch_resume_bitwise_identical(tmp_path):
+    from zfista_tpu.core.solver import State
+    from zfista_tpu.parallel.batch import minimize_proximal_gradient_batch
+
+    prob = JOS1(n_features=5)
+    rng = np.random.default_rng(3)
+    x0s = rng.uniform(-2, 4, size=(4, 5))
+    args = (prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s)
+    full = minimize_proximal_gradient_batch(*args, nesterov=True)
+    part = minimize_proximal_gradient_batch(*args, nesterov=True, max_iter=6, tol=0.0)
+    p = tmp_path / "batch.npz"
+    save_state(part.state, p)
+    loaded = load_state(p)
+    resumed = minimize_proximal_gradient_batch(
+        *args, nesterov=True, initial_states=State(*loaded)
+    )
+    np.testing.assert_array_equal(resumed.x, full.x)
+    np.testing.assert_array_equal(resumed.nit, full.nit)

@@ -54,6 +54,7 @@ def momentum_sweep(
     ab_grid: list[tuple] | None = None,
     seed: int = 42,
     max_iter: int = 10_000,
+    lane_chunk: int | None = None,
     **solver_kwargs,
 ):
     """Run the full (a, b) x starts grid as one batched solve.
@@ -72,19 +73,37 @@ def momentum_sweep(
         np.asarray([[float(a), float(b)] for a, b in grid]), n_starts, axis=0
     )
 
+    # lane_chunk bounds the size (and so the kernel runtime) of each device
+    # call: one monolithic while_loop over 15k heavy lanes can outlive the
+    # device watchdog; chunks of a few thousand lanes never do, and equal
+    # chunk shapes share one compiled program.
+    B = len(x0_lanes)
+    chunk = B if lane_chunk is None else int(lane_chunk)
     t0 = time.perf_counter()
-    res = minimize_proximal_gradient_batch(
-        problem.f,
-        problem.g,
-        problem.jac_f,
-        problem.prox_wsum_g,
-        x0_lanes,
-        batch_nesterov_ratio=ab_lanes,
-        nesterov=True,
-        max_iter=max_iter,
-        **solver_kwargs,
-    )
+    parts = []
+    for s in range(0, B, chunk):
+        sl = slice(s, min(s + chunk, B))
+        parts.append(
+            minimize_proximal_gradient_batch(
+                problem.f,
+                problem.g,
+                problem.jac_f,
+                problem.prox_wsum_g,
+                x0_lanes[sl],
+                batch_nesterov_ratio=ab_lanes[sl],
+                nesterov=True,
+                max_iter=max_iter,
+                **solver_kwargs,
+            )
+        )
     total = time.perf_counter() - t0
+    res = parts[0]
+    if len(parts) > 1:
+        import numpy as _np
+
+        for key in ("x", "nit", "nit_internal", "success", "status"):
+            res[key] = _np.concatenate([p[key] for p in parts], axis=0)
+        res["fun"] = _np.concatenate([p["fun"] for p in parts], axis=0)
 
     nit = np.asarray(res.nit).reshape(len(grid), n_starts)
     ok = np.asarray(res.success).reshape(len(grid), n_starts)

@@ -115,6 +115,7 @@ def minimize_proximal_gradient_batch(
     in_sharding: Any = None,
     check_every: int = 1,
     adaptive_restart: bool = False,
+    initial_states: State | None = None,
 ) -> BatchResult:
     r"""Solve a batch of independent problems as one vmapped XLA program.
 
@@ -230,7 +231,11 @@ def minimize_proximal_gradient_batch(
         def run_chunk(states: State):
             return lax.scan(masked_scan_step, states, None, length=chunk)
 
-        states = jax.jit(vinit)(*init_args)
+        states = (
+            initial_states
+            if initial_states is not None
+            else jax.jit(vinit)(*init_args)
+        )
         f_hist, e_hist, m_hist = [], [], []
         while True:
             states, (Fs, errs, rec) = run_chunk(states)
@@ -247,7 +252,7 @@ def minimize_proximal_gradient_batch(
 
         @jax.jit
         def run(*args):
-            states = vinit(*args)
+            states = vinit(*args) if initial_states is None else initial_states
             if check_every == 1:
                 return lax.while_loop(any_active, run_step, states)
             # Amortize loop-trip overhead: the predicate (a cross-lane
@@ -301,4 +306,7 @@ def minimize_proximal_gradient_batch(
         res.allfuns = allfuns
         res.allerrs = allerrs
         res.history_mask = hist_mask
+    # Resumable batched carry (utils.checkpoint round-trips it; pass back
+    # via initial_states to continue bitwise-identically).
+    res.state = jax.tree.map(np.asarray, states)
     return res
