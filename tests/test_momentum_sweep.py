@@ -62,3 +62,27 @@ def test_sweep_reproduces_headline(tmp_path):
     lines = out.read_text().strip().splitlines()
     assert len(lines) == 15
     assert lines[0].startswith("0 ,0,")
+
+
+def test_lane_chunked_sweep_consistent():
+    # Chunked and unchunked sweeps agree; ragged tails are padded and the
+    # merged result is internally consistent (regression: to_list worked
+    # only on the first chunk).
+    prob = JOS1(n_features=5)
+    pairs = [(0.0, 0.25), (0.75, 0.25)]
+    rows_full, res_full = momentum_sweep(
+        prob, -2, 4, n_starts=7, ab_grid=pairs, max_iter=3000
+    )
+    rows_chunk, res_chunk = momentum_sweep(
+        prob, -2, 4, n_starts=7, ab_grid=pairs, max_iter=3000, lane_chunk=5
+    )
+    for rf, rc in zip(rows_full, rows_chunk):
+        assert rf["nit"] == rc["nit"]
+    assert len(res_chunk.x) == len(res_full.x) == 14
+    np.testing.assert_array_equal(res_chunk.x, res_full.x)
+    lst = res_chunk.to_list()
+    assert len(lst) == 14
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        momentum_sweep(prob, -2, 4, n_starts=4, ab_grid=pairs, lane_chunk=0)

@@ -75,35 +75,60 @@ def momentum_sweep(
 
     # lane_chunk bounds the size (and so the kernel runtime) of each device
     # call: one monolithic while_loop over 15k heavy lanes can outlive the
-    # device watchdog; chunks of a few thousand lanes never do, and equal
-    # chunk shapes share one compiled program.
+    # device watchdog; chunks of a few thousand lanes never do.  The last
+    # chunk is PADDED to the full chunk size (duplicating its first lane)
+    # so every call shares one compiled program — a ragged tail chunk
+    # would recompile from scratch (minutes on a cold cache).
     B = len(x0_lanes)
-    chunk = B if lane_chunk is None else int(lane_chunk)
+    if lane_chunk is not None and int(lane_chunk) < 1:
+        raise ValueError(f"lane_chunk must be >= 1; got {lane_chunk}")
+    chunk = B if lane_chunk is None else min(int(lane_chunk), B)
     t0 = time.perf_counter()
     parts = []
     for s in range(0, B, chunk):
-        sl = slice(s, min(s + chunk, B))
-        parts.append(
-            minimize_proximal_gradient_batch(
-                problem.f,
-                problem.g,
-                problem.jac_f,
-                problem.prox_wsum_g,
-                x0_lanes[sl],
-                batch_nesterov_ratio=ab_lanes[sl],
-                nesterov=True,
-                max_iter=max_iter,
-                **solver_kwargs,
-            )
+        end = min(s + chunk, B)
+        x0_c = x0_lanes[s:end]
+        ab_c = ab_lanes[s:end]
+        pad = chunk - (end - s)
+        if pad:
+            x0_c = np.concatenate([x0_c, np.repeat(x0_c[:1], pad, axis=0)])
+            ab_c = np.concatenate([ab_c, np.repeat(ab_c[:1], pad, axis=0)])
+        part = minimize_proximal_gradient_batch(
+            problem.f,
+            problem.g,
+            problem.jac_f,
+            problem.prox_wsum_g,
+            x0_c,
+            batch_nesterov_ratio=ab_c,
+            nesterov=True,
+            max_iter=max_iter,
+            **solver_kwargs,
         )
+        if pad:
+            for key in list(part.keys()):
+                v = part[key]
+                if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == chunk:
+                    part[key] = v[: end - s]
+        parts.append(part)
     total = time.perf_counter() - t0
     res = parts[0]
     if len(parts) > 1:
-        import numpy as _np
+        # Concatenate every per-lane array field so the merged BatchResult
+        # is internally consistent (to_list(), state resume, etc.).
+        lane_keys = [
+            k
+            for k, v in parts[0].items()
+            if isinstance(v, np.ndarray) and v.ndim >= 1
+        ]
+        for key in lane_keys:
+            res[key] = np.concatenate([p[key] for p in parts], axis=0)
+        if parts[0].get("state") is not None:
+            import jax
 
-        for key in ("x", "nit", "nit_internal", "success", "status"):
-            res[key] = _np.concatenate([p[key] for p in parts], axis=0)
-        res["fun"] = _np.concatenate([p["fun"] for p in parts], axis=0)
+            res["state"] = jax.tree.map(
+                lambda *leaves: np.concatenate(leaves, axis=0),
+                *[p["state"] for p in parts],
+            )
 
     nit = np.asarray(res.nit).reshape(len(grid), n_starts)
     ok = np.asarray(res.success).reshape(len(grid), n_starts)

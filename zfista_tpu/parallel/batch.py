@@ -116,6 +116,7 @@ def minimize_proximal_gradient_batch(
     check_every: int = 1,
     adaptive_restart: bool = False,
     initial_states: State | None = None,
+    keep_state: bool = True,
 ) -> BatchResult:
     r"""Solve a batch of independent problems as one vmapped XLA program.
 
@@ -273,6 +274,13 @@ def minimize_proximal_gradient_batch(
 
         if in_sharding is not None:
             x0s = jax.device_put(x0s, in_sharding)
+            init_args = (x0s, *init_args[1:])
+            if initial_states is not None:
+                # Resume must honor the requested placement too; otherwise
+                # the closure-captured states run unsharded/replicated.
+                initial_states = jax.tree.map(
+                    lambda a: jax.device_put(a, in_sharding), initial_states
+                )
         states = jax.block_until_ready(run(*init_args))
         allfuns = allerrs = hist_mask = None
 
@@ -306,7 +314,12 @@ def minimize_proximal_gradient_batch(
         res.allfuns = allfuns
         res.allerrs = allerrs
         res.history_mask = hist_mask
-    # Resumable batched carry (utils.checkpoint round-trips it; pass back
-    # via initial_states to continue bitwise-identically).
-    res.state = jax.tree.map(np.asarray, states)
+    if keep_state:
+        # Resumable batched carry (utils.checkpoint round-trips it; pass
+        # back via initial_states to continue bitwise-identically).  Costs
+        # a device->host copy of ~3x the iterate batch (x, x_prev, y) —
+        # pass keep_state=False for huge-n sweeps that never checkpoint.
+        res.state = jax.tree.map(np.asarray, states)
+    else:
+        res.state = None
     return res
