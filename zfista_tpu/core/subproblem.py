@@ -234,11 +234,13 @@ def make_subproblem_solver(
         grad_fn = lambda w: vag(w)[1]
         hess_fn = _jax.jacfwd(grad_fn)
 
-        # Gradient-mapping scale: lambda_max of the full Gram bounds the
-        # dual's curvature; used for the PG fallback step and the
-        # stationarity measure.
-        lam_max = jnp.linalg.eigvalsh(_DOT(jac_f_y, jac_f_y.T))[-1]
-        Ls = jnp.maximum(lr * lam_max, jnp.asarray(1.0, dtype))
+        # Gradient-mapping scale: an upper bound on the dual's curvature,
+        # used for the PG fallback step and the stationarity measure.
+        # trace(J Jᵀ) = sum(J²) >= lambda_max and needs no eigensolver —
+        # batched eigvalsh faults the TPU backend at scale, and a bound
+        # within a factor m only makes the safeguard step conservative.
+        lam_bound = jnp.sum(jac_f_y * jac_f_y)
+        Ls = jnp.maximum(lr * lam_bound, jnp.asarray(1.0, dtype))
 
         w_start = project_simplex(w0.astype(dtype))
 
@@ -248,6 +250,7 @@ def make_subproblem_solver(
             k: Array
             done: Array
             nit: Array
+            stall: Array  # consecutive iterations without real phi progress
 
         def cond(c: Carry):
             return (~c.done) & (c.k < newton_cap)
@@ -349,12 +352,26 @@ def make_subproblem_solver(
             # gradient step at the safe step size.
             gm = jnp.linalg.norm(c.w - project_simplex(c.w - grad / Ls))
             stationary = gm <= stat_tol * (1 + jnp.linalg.norm(grad) / Ls)
+            # Progress-based floor: the arc accept carries an O(eps) slack,
+            # so at the dtype's noise floor it keeps "accepting" null steps
+            # and the loop would burn the full newton_cap (80+ dual evals
+            # per outer iteration, at every line-search trial — enough to
+            # outlive device watchdogs at batch scale).  Two consecutive
+            # iterations without a real phi decrease terminate the solve:
+            # Newton's convergence is quadratic, so genuine progress never
+            # pauses twice.
+            eps_phi = jnp.asarray(
+                (2.2e-16 if dtype == jnp.float64 else 1.2e-7), dtype
+            ) * (1 + jnp.abs(phi))
+            progressed = (phi - phi_new) > eps_phi
+            stall_new = jnp.where(progressed, 0, c.stall + 1).astype(jnp.int32)
             return Carry(
                 w=w_new,
                 phi=phi_new,
                 k=c.k + 1,
-                done=stationary | (~ok),
+                done=stationary | (~ok) | (stall_new >= 2),
                 nit=c.nit + n_ls + m + 1,  # m tangents for H + phi evals
+                stall=stall_new,
             )
 
         init = Carry(
@@ -363,6 +380,7 @@ def make_subproblem_solver(
             k=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             nit=jnp.asarray(1, jnp.int32),
+            stall=jnp.asarray(0, jnp.int32),
         )
         final = lax.while_loop(cond, body, init)
 
