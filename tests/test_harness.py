@@ -80,3 +80,34 @@ def test_benchmark_history_plots(tmp_path):
     plots.show_error_decay(results, save_to=tmp_path / "ed.pdf")
     assert (tmp_path / "pf.pdf").stat().st_size > 0
     assert (tmp_path / "ed.pdf").stat().st_size > 0
+
+
+def test_solver_options_dataclass():
+    from zfista_tpu import SolverOptions, minimize_proximal_gradient
+    import jax.numpy as jnp
+
+    opts = SolverOptions(nesterov=True).replace(lr=0.4)
+    res = minimize_proximal_gradient(
+        lambda x: (x[0] - 1.0) ** 2,
+        lambda x: 0.1 * jnp.abs(x[0]),
+        None,
+        lambda t, x: jnp.sign(x) * jnp.maximum(jnp.abs(x) - 0.1 * t, 0),
+        np.array([3.0]),
+        **opts.kwargs(),
+    )
+    assert res.success
+    np.testing.assert_allclose(res.x, [0.95], atol=1e-4)
+
+
+def test_pareto_plot_layers(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from zfista_tpu.bench import plots
+
+    prob = JOS1(n_features=5)
+    results = benchmark(prob, -2, 4, n_samples=3, max_iter=2000, history=True)
+    fig = plots.show_pareto_front(
+        results, prob, save_to=tmp_path / "pf.pdf", iteration=3
+    )
+    assert (tmp_path / "pf.pdf").stat().st_size > 0

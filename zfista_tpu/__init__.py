@@ -12,9 +12,10 @@ Pareto metrics (:mod:`zfista_tpu.metrics`), batched/sharded solvers
 (:mod:`zfista_tpu.parallel`) and fused Pallas kernels (:mod:`zfista_tpu.ops`).
 """
 
+from zfista_tpu.core.options import SolverOptions
 from zfista_tpu.core.result import SolveResult
 from zfista_tpu.core.solver import minimize_proximal_gradient
 
-__all__ = ["minimize_proximal_gradient", "SolveResult"]
+__all__ = ["minimize_proximal_gradient", "SolveResult", "SolverOptions"]
 
 __version__ = "0.1.0"

@@ -23,16 +23,38 @@ def _plt():
     return plt
 
 
-def show_pareto_front(results, problem, save_to: Path | None = None):
-    """Scatter the initial vs final objective fronts per algorithm
-    (2D/3D per n_objectives; reference benchmark.py:78-222)."""
+def show_pareto_front(
+    results, problem, save_to: Path | None = None, iteration: int | None = None
+):
+    """Scatter initial vs final (and optionally the k-th-iterate) objective
+    fronts per algorithm (2D/3D per n_objectives; reference
+    benchmark.py:78-222 plots the same three layers)."""
     plt = _plt()
     m = problem.n_objectives
     if m not in (2, 3):
         return None
     fig = plt.figure(figsize=(5, 4))
     ax = fig.add_subplot(111, projection="3d" if m == 3 else None)
+    first = next(iter(results.values()))
+    # initial front: F(x0), recomputed (batched histories record post-step
+    # values, so allfuns[0] would be off by one iteration)
+    import jax.numpy as jnp
+
+    F0 = np.vstack([np.asarray(problem.f(jnp.asarray(r.x0))) for r in first])
+    ax.scatter(*F0.T[:m], s=8, marker="x", c="gray", label="initial", alpha=0.5)
     for name, res_list in results.items():
+        if iteration is not None and res_list and res_list[0].get("allfuns"):
+            Fk = np.vstack(
+                [
+                    np.atleast_1d(
+                        r.allfuns[min(iteration, len(r.allfuns) - 1)]
+                    )
+                    for r in res_list
+                ]
+            )
+            ax.scatter(
+                *Fk.T[:m], s=6, label=f"{name} (k={iteration})", alpha=0.4
+            )
         F = extract_function_values(res_list)
         ax.scatter(*F.T[:m], s=8, label=name, alpha=0.7)
     ax.set_xlabel("$F_1$")

@@ -1,0 +1,46 @@
+"""SolverOptions: the solver's keyword arguments as one (pytree) dataclass.
+
+The reference has no config system — pure kwargs with defaults
+(zfista/proximal_gradient.py:311-331).  The facade here stays
+kwargs-compatible; this dataclass exists for programs that carry solver
+configuration around (sweeps, services, serialized experiment specs):
+
+    opts = SolverOptions(nesterov=True, tol=1e-6)
+    res = prob.minimize_proximal_gradient(x0, **opts.kwargs())
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class SolverOptions:
+    """All options of :func:`zfista_tpu.minimize_proximal_gradient`,
+    with the reference's defaults."""
+
+    lr: float = 1.0
+    tol: float = 1e-5
+    tol_internal: float = 1e-12
+    max_iter: int = 1_000_000
+    max_iter_internal: int = 100_000
+    max_backtrack_iter: int = 100
+    warm_start: bool = False
+    decay_rate: float = 0.5
+    nesterov: bool = False
+    nesterov_ratio: tuple[float, float] = (0.0, 0.25)
+    return_all: bool = False
+    verbose: bool = False
+    deprecated: bool = False
+    check_every: int = 1
+    adaptive_restart: bool = False
+    history_chunk: int = 512
+
+    def kwargs(self) -> dict:
+        """As a keyword dict for the solver facade."""
+        return asdict(self)
+
+    def replace(self, **changes) -> "SolverOptions":
+        from dataclasses import replace as _replace
+
+        return _replace(self, **changes)
