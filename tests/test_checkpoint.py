@@ -55,7 +55,6 @@ def test_state_roundtrip_batched(tmp_path):
     # check the npz round-trip on a hand-built batched pytree instead.
     state = State(
         x=res.x,
-        x_prev=res.x,
         y=res.x,
         F_x=np.atleast_2d(res.fun).reshape(len(res.x), -1),
         lr=res.lr,

@@ -59,7 +59,6 @@ class State(NamedTuple):
     """Pure pytree carry for one solve (vmappable across a batch)."""
 
     x: Array  # current accepted iterate (n,)
-    x_prev: Array  # previous accepted iterate (n,)
     y: Array  # extrapolated point (n,)
     F_x: Array  # F(x) = f(x) + g(x), (m,)
     lr: Array  # current learning rate (scalar)
@@ -219,13 +218,25 @@ def _make_step(
         nit_new = state.nit + jnp.where(failed_now, 0, 1)
 
         if verbose:
-            jax.debug.print(
-                "|{n:>6}|{ni:>8}|{e:>+13.4e}|{s:>+13.4e}|{lr:>10.2e}|",
-                n=nit_new,
-                ni=state.nit_internal + ls.nits,
-                e=err,
-                s=ls.sub_fun,
-                lr=ls.lr,
+            # Skip rows for frozen states: masked drivers (check_every > 1,
+            # the scan driver) call step() on already-converged carries and
+            # discard the result — printing there would emit phantom rows.
+            lax.cond(
+                state.converged | state.failed,
+                lambda *_: None,
+                lambda n, ni, e, s, lr_: jax.debug.print(
+                    "|{n:>6}|{ni:>8}|{e:>+13.4e}|{s:>+13.4e}|{lr:>10.2e}|",
+                    n=n,
+                    ni=ni,
+                    e=e,
+                    s=s,
+                    lr=lr_,
+                ),
+                nit_new,
+                state.nit_internal + ls.nits,
+                err,
+                ls.sub_fun,
+                ls.lr,
             )
 
         keep = failed_now  # on failure, freeze at the last accepted point
@@ -235,7 +246,6 @@ def _make_step(
 
         return State(
             x=sel(ls.x, state.x),
-            x_prev=sel(state.x, state.x_prev),
             y=sel(jnp.where(converged_now, state.y, y_new), state.y),
             F_x=sel(ls.F_x, state.F_x),
             lr=sel(ls.lr, state.lr),
@@ -262,7 +272,6 @@ def init_state(
     m = n_objectives
     return State(
         x=x0,
-        x_prev=x0,
         y=x0,
         F_x=F0,
         lr=jnp.asarray(lr, dtype),

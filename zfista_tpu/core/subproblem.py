@@ -180,17 +180,22 @@ def make_subproblem_solver(
                     hi = jnp.where(pm < 0, hi, mid)
                     return lo, hi, k + 1
 
-                lo, hi, _ = lax.while_loop(
+                lo, hi, k = lax.while_loop(
                     cond, body, (zero, one, jnp.asarray(0, jnp.int32))
                 )
-                return (lo + hi) / 2
+                return (lo + hi) / 2, k
 
             # phi convex => psi nondecreasing. Interior solution iff
             # psi(0) < 0 < psi(1); otherwise the optimum is a vertex.
-            t_star = lax.cond(
+            # nit reports the ACTUAL dual evaluations (2 endpoint psi's +
+            # bisection steps taken, which the width floor can cut short).
+            zero_k = jnp.asarray(0, jnp.int32)
+            t_star, n_steps = lax.cond(
                 psi0 >= 0,
-                lambda _: zero,
-                lambda _: lax.cond(psi1 <= 0, lambda __: one, bisect, _),
+                lambda _: (zero, zero_k),
+                lambda _: lax.cond(
+                    psi1 <= 0, lambda __: (one, zero_k), bisect, _
+                ),
                 operand=None,
             )
             w = jnp.stack([t_star, 1 - t_star])
@@ -200,7 +205,7 @@ def make_subproblem_solver(
                 x=x,
                 fun=-phi_star,
                 weight=w,
-                nit=jnp.asarray(n_bisect + 2, jnp.int32),
+                nit=n_steps + 2,
             )
 
         return solve_m2

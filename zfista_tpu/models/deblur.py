@@ -75,6 +75,8 @@ def dwt2(image: Array, levels: int) -> Array:
 
 def idwt2(coeffs: Array, levels: int) -> Array:
     """Inverse of :func:`dwt2` (exact: the transform is orthonormal)."""
+    if levels <= 0:
+        return coeffs  # dwt2(img, 0) is the identity; keep the pair symmetric
     out = coeffs
     size = out.shape[0] >> (levels - 1)
     for _ in range(levels):
@@ -147,7 +149,11 @@ class WaveletDeblur:
         if self.b.shape[0] != self.b.shape[1] or size & (size - 1):
             raise ValueError("image must be square with power-of-two side")
         self.kernel = gaussian_kernel() if kernel is None else kernel
-        self.levels = int(math.log2(size)) if levels is None else levels
+        self.levels = int(math.log2(size)) if levels is None else int(levels)
+        if not 1 <= self.levels <= int(math.log2(size)):
+            raise ValueError(
+                f"levels must be in [1, log2(size)]; got {self.levels}"
+            )
         self.l1_ratio = float(l1_ratio)
         self._blur = make_blur(self.kernel)
         self.n_objectives = 1
@@ -180,7 +186,8 @@ class WaveletDeblur:
     def solve(self, **kwargs):
         """Fixed-step accelerated solve at lr = 1/L (reference settings:
         decay_rate=1, nesterov=True; cameraman.ipynb cell 11)."""
-        kwargs.setdefault("lr", 1.0 / self.lipschitz())
+        if "lr" not in kwargs:  # avoid the eager FFT when lr is given
+            kwargs["lr"] = 1.0 / self.lipschitz()
         kwargs.setdefault("decay_rate", 1)
         kwargs.setdefault("nesterov", True)
         x0 = kwargs.pop("x0", self.x0())

@@ -106,7 +106,8 @@ class Lasso(Problem):
     def solve_fixed_step(self, x0, **kwargs):
         """Fixed-step FISTA at ``lr = 1/L`` (no backtracking) — the
         bandwidth-bound hot path the bench measures."""
-        kwargs.setdefault("lr", 1.0 / self.lipschitz())
+        if "lr" not in kwargs:  # setdefault would eval the 50-matvec
+            kwargs["lr"] = 1.0 / self.lipschitz()  # power iteration eagerly
         kwargs.setdefault("decay_rate", 1)
         kwargs.setdefault("nesterov", True)
         return minimize_proximal_gradient(

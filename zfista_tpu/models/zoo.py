@@ -14,6 +14,7 @@ from functools import partial
 from typing import Any, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from zfista_tpu._typing import Array
@@ -55,19 +56,28 @@ class JOS1(Problem):
 class SD(Problem):
     r"""Linear + reciprocal bi-objective (Stadler & Dauer 1992), n=4,
     bounds (1e-6, inf).  Reference: zfista/problems.py:208-264.
+
+    The sqrt(2) constants are kept as host float64 and cast to the
+    iterate's dtype at call time — a class-level jnp.array would freeze
+    them to float32 at import (before any x64 enable), silently breaking
+    float64 reference parity by ~1e-7.
     """
 
-    _C1 = jnp.array([2.0, _SQRT2, _SQRT2, 1.0])
-    _C2 = jnp.array([2.0, 2 * _SQRT2, 2 * _SQRT2, 2.0])
+    _C1 = np.array([2.0, _SQRT2, _SQRT2, 1.0])
+    _C2 = np.array([2.0, 2 * _SQRT2, 2 * _SQRT2, 2.0])
 
     def __init__(self) -> None:
         super().__init__(4, 2, bounds=(1e-6, jnp.inf))
 
     def f(self, x: Array) -> Array:
-        return jnp.stack([_dot(self._C1, x), jnp.sum(self._C2 / x)])
+        c1 = jnp.asarray(self._C1, x.dtype)
+        c2 = jnp.asarray(self._C2, x.dtype)
+        return jnp.stack([_dot(c1, x), jnp.sum(c2 / x)])
 
     def jac_f(self, x: Array) -> Array:
-        return jnp.stack([self._C1.astype(x.dtype), -self._C2 / x**2])
+        c1 = jnp.asarray(self._C1, x.dtype)
+        c2 = jnp.asarray(self._C2, x.dtype)
+        return jnp.stack([c1, -c2 / x**2])
 
 
 class FDS(Problem):

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from zfista_tpu._typing import Array
+from zfista_tpu.ops.prox import soft_threshold
 
 _LANE = 128
 _SUBLANE = 8
@@ -113,17 +114,28 @@ def fused_prox_momentum(
 
 def fused_prox_momentum_xla(y, grad, x, lr, thresh, gamma):
     """Pure-jnp reference of the fused kernel (XLA's own fusion)."""
-    z = y - lr * grad
-    x_new = jnp.sign(z) * jnp.maximum(jnp.abs(z) - thresh, 0)
+    x_new = soft_threshold(y - lr * grad, thresh)
     return x_new, x_new + gamma * (x_new - x)
+
+
+def fused_prox_momentum_auto(y, grad, x, lr, thresh, gamma):
+    """Pallas kernel on TPU, jnp fallback elsewhere (the dispatch the
+    module header promises)."""
+    if _have_tpu():
+        return fused_prox_momentum(y, grad, x, lr, thresh, gamma)
+    return fused_prox_momentum_xla(y, grad, x, lr, thresh, gamma)
 
 
 def fista_step_dense_pallas(A, b, lam, lr, carry, interpret: bool = False):
     """One dense-LASSO FISTA step: XLA matvecs + the Pallas fused
     elementwise chain.  Drop-in for
-    :func:`zfista_tpu.models.lasso.fista_step_dense`."""
+    :func:`zfista_tpu.models.lasso.fista_step_dense` — same full-precision
+    matvecs (bf16-default products diverge; see the precision policy in
+    models/lasso.py)."""
+    from zfista_tpu.models.lasso import _DOT
+
     x, y, t = carry
-    grad = 2 * (A.T @ (A @ y - b))
+    grad = 2 * _DOT(A.T, _DOT(A, y) - b)
     t_new = jnp.sqrt(t * t + 0.25) + 0.5
     gamma = (t - 1) / t_new
     x_new, y_new = fused_prox_momentum(

@@ -317,7 +317,7 @@ def minimize_proximal_gradient_batch(
     if keep_state:
         # Resumable batched carry (utils.checkpoint round-trips it; pass
         # back via initial_states to continue bitwise-identically).  Costs
-        # a device->host copy of ~3x the iterate batch (x, x_prev, y) —
+        # a device->host copy of ~2x the iterate batch (x and y) —
         # pass keep_state=False for huge-n sweeps that never checkpoint.
         res.state = jax.tree.map(np.asarray, states)
     else:
