@@ -41,3 +41,18 @@ def test_fista_step_pallas_matches_reference_step():
     pal = fista_step_dense_pallas(A, b, lam, lr, (x, y, t), interpret=True)
     for r, p in zip(ref, pal):
         np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=1e-6)
+
+
+def test_fused_auto_dispatch_cpu_fallback():
+    # On the CPU test backend, the auto dispatcher must take the jnp path
+    # (the Pallas TPU lowering would raise).
+    import numpy as np
+
+    from zfista_tpu.ops.fused import fused_prox_momentum_auto
+
+    rng = np.random.default_rng(2)
+    y, g, x = (jnp.asarray(rng.standard_normal(64), jnp.float32) for _ in range(3))
+    xk, yk = fused_prox_momentum_auto(y, g, x, 0.1, 0.05, 0.3)
+    xr, yr = fused_prox_momentum_xla(y, g, x, 0.1, 0.05, 0.3)
+    np.testing.assert_array_equal(np.asarray(xk), np.asarray(xr))
+    np.testing.assert_array_equal(np.asarray(yk), np.asarray(yr))
