@@ -224,7 +224,11 @@ def make_subproblem_solver(
     # (zfista/proximal_gradient.py:192-205) but exact, jittable, vmappable.
     import jax as _jax
 
-    newton_cap = min(max_iter, 100)
+    # Quadratic convergence reaches any fixed precision within ~25
+    # iterations; the cap only bounds pathological cases (degenerate duals
+    # wandering an optimal face with sub-threshold progress per step, e.g.
+    # rank-1 Grams with L1 kinks) where extra iterations buy nothing.
+    newton_cap = min(max_iter, 30)
 
     def solve_mk(lr, F_old, y, f_y, jac_f_y, w0) -> SubproblemResult:
         primal_at, vag = _make_dual(
