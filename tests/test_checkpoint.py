@@ -106,3 +106,11 @@ def test_batch_resume_bitwise_identical(tmp_path):
     )
     np.testing.assert_array_equal(resumed.x, full.x)
     np.testing.assert_array_equal(resumed.nit, full.nit)
+
+
+def test_checkpoint_path_without_suffix(tmp_path):
+    prob = JOS1(n_features=5)
+    r = prob.minimize_proximal_gradient(np.ones(5), nesterov=True, max_iter=3, tol=0.0)
+    save_state(r.state, tmp_path / "iter100")  # no .npz suffix
+    st = load_state(tmp_path / "iter100")
+    np.testing.assert_array_equal(np.asarray(st.x), np.asarray(r.state.x))

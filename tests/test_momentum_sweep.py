@@ -86,3 +86,19 @@ def test_lane_chunked_sweep_consistent():
 
     with _pytest.raises(ValueError):
         momentum_sweep(prob, -2, 4, n_starts=4, ab_grid=pairs, lane_chunk=0)
+
+
+def test_lane_chunked_history_and_state_consistency():
+    # Regression: padded-state trim, history time-axis padding, summed time.
+    prob = JOS1(n_features=5)
+    pairs = [(0.0, 0.25), (0.75, 0.25), (0.5, 0.0625)]
+    rows, res = momentum_sweep(
+        prob, -2, 4, n_starts=5, ab_grid=pairs, max_iter=3000,
+        lane_chunk=4, history=True, history_chunk=16,
+    )
+    B = len(pairs) * 5
+    assert len(res.x) == B
+    assert len(res.state.x) == B  # padded lanes trimmed from the state too
+    assert res.allfuns.shape[0] == B  # history merged across ragged chunks
+    lst = res.to_list()
+    assert len(lst) == B and all(len(r.allfuns) >= 1 for r in lst)

@@ -109,19 +109,44 @@ def momentum_sweep(
                 v = part[key]
                 if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == chunk:
                     part[key] = v[: end - s]
+            if part.get("state") is not None:
+                import jax
+
+                part["state"] = jax.tree.map(
+                    lambda a: a[: end - s] if len(a) == chunk else a,
+                    part["state"],
+                )
         parts.append(part)
     total = time.perf_counter() - t0
     res = parts[0]
     if len(parts) > 1:
         # Concatenate every per-lane array field so the merged BatchResult
         # is internally consistent (to_list(), state resume, etc.).
+        # History arrays carry a per-chunk time axis of varying length —
+        # pad each to the longest before joining on the lane axis.
+        T = max(
+            (p["allfuns"].shape[1] for p in parts if p.get("allfuns") is not None),
+            default=0,
+        )
+
+        def _pad_T(a):
+            if a.ndim >= 2 and a.shape[1] < T:
+                width = [(0, 0)] * a.ndim
+                width[1] = (0, T - a.shape[1])
+                return np.pad(a, width)
+            return a
+
+        hist_keys = {"allfuns", "allerrs", "history_mask"}
         lane_keys = [
             k
             for k, v in parts[0].items()
             if isinstance(v, np.ndarray) and v.ndim >= 1
         ]
         for key in lane_keys:
-            res[key] = np.concatenate([p[key] for p in parts], axis=0)
+            vals = [p[key] for p in parts]
+            if key in hist_keys:
+                vals = [_pad_T(v) for v in vals]
+            res[key] = np.concatenate(vals, axis=0)
         if parts[0].get("state") is not None:
             import jax
 
@@ -129,6 +154,7 @@ def momentum_sweep(
                 lambda *leaves: np.concatenate(leaves, axis=0),
                 *[p["state"] for p in parts],
             )
+        res["time"] = float(sum(p["time"] for p in parts))
 
     nit = np.asarray(res.nit).reshape(len(grid), n_starts)
     ok = np.asarray(res.success).reshape(len(grid), n_starts)

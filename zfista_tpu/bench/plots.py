@@ -43,13 +43,14 @@ def show_pareto_front(
     F0 = np.vstack([np.asarray(problem.f(jnp.asarray(r.x0))) for r in first])
     ax.scatter(*F0.T[:m], s=8, marker="x", c="gray", label="initial", alpha=0.5)
     for name, res_list in results.items():
-        if iteration is not None and res_list and res_list[0].get("allfuns"):
+        with_hist = [r for r in res_list if r.get("allfuns")]
+        if iteration is not None and with_hist:
             Fk = np.vstack(
                 [
                     np.atleast_1d(
                         r.allfuns[min(iteration, len(r.allfuns) - 1)]
                     )
-                    for r in res_list
+                    for r in with_hist
                 ]
             )
             ax.scatter(

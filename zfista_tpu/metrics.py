@@ -144,6 +144,17 @@ def hypervolume(
         hv = hypervolume_native(pts, ref)
         if hv is not None:
             return hv
+    if pts.shape[-1] > 2 and len(pts) > 500:
+        # The WFG limited-set recursion can reach one frame per point; lift
+        # the interpreter limit for toolchain-less fallbacks on big fronts.
+        import sys
+
+        limit = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(limit, 10 * len(pts) + 1000))
+        try:
+            return float(_wfg(pts, ref))
+        finally:
+            sys.setrecursionlimit(limit)
     return float(_wfg(pts, ref))
 
 

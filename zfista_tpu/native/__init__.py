@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import hashlib
+import os
 import subprocess
 import sysconfig
 from pathlib import Path
@@ -31,6 +32,10 @@ def _compile() -> Path | None:
     if out.exists():
         return out
     _BUILD.mkdir(exist_ok=True)
+    # Compile to a process-unique temp name and rename into place: the
+    # rename is atomic, so concurrent processes on a cold cache can never
+    # dlopen a half-written object.
+    tmp = out.with_suffix(f".tmp{os.getpid()}")
     cmd = [
         "g++",
         "-O3",
@@ -40,11 +45,13 @@ def _compile() -> Path | None:
         "-fPIC",
         str(_SRC),
         "-o",
-        str(out),
+        str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
     except (OSError, subprocess.SubprocessError):
+        tmp.unlink(missing_ok=True)
         return None
     return out
 

@@ -12,7 +12,10 @@ from zfista_tpu.parallel.batch import (
     minimize_proximal_gradient_batch,
 )
 from zfista_tpu.parallel.sharding import (
+    batch_sharding,
+    feature_sharding,
     make_mesh,
+    operator_sharding,
     shard_batch,
 )
 
@@ -21,4 +24,7 @@ __all__ = [
     "minimize_proximal_gradient_batch",
     "make_mesh",
     "shard_batch",
+    "batch_sharding",
+    "feature_sharding",
+    "operator_sharding",
 ]

@@ -70,7 +70,13 @@ class BatchResult(SolveResult):
                 error_criterion=float(self.error_criterion[i]),
                 success=bool(self.success[i]),
                 status=int(self.status[i]),
-                message=TERMINATION_MESSAGES.get(int(self.status[i]), self.message),
+                message=(
+                    "Error: Backtracking failed to find a suitable stepsize."
+                    if int(self.status[i]) == 2
+                    else TERMINATION_MESSAGES.get(
+                        int(self.status[i]), self.message
+                    )
+                ),
                 time=self.time / n,  # amortized wall time per lane
                 tol=self.tol,
                 tol_internal=self.tol_internal,
@@ -137,6 +143,16 @@ def minimize_proximal_gradient_batch(
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n_features); got {x0s.shape}")
+    if batch_nesterov_ratio is not None:
+        # A per-lane momentum grid implies acceleration; running it with
+        # nesterov=False would silently measure plain ISTA for every pair.
+        nesterov = True
+    if in_sharding is not None:
+        x0s = jax.device_put(x0s, in_sharding)
+        if initial_states is not None:
+            initial_states = jax.tree.map(
+                lambda a: jax.device_put(a, in_sharding), initial_states
+            )
     if not jnp.issubdtype(x0s.dtype, jnp.floating):
         x0s = x0s.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
@@ -272,15 +288,6 @@ def minimize_proximal_gradient_batch(
                 states,
             )
 
-        if in_sharding is not None:
-            x0s = jax.device_put(x0s, in_sharding)
-            init_args = (x0s, *init_args[1:])
-            if initial_states is not None:
-                # Resume must honor the requested placement too; otherwise
-                # the closure-captured states run unsharded/replicated.
-                initial_states = jax.tree.map(
-                    lambda a: jax.device_put(a, in_sharding), initial_states
-                )
         states = jax.block_until_ready(run(*init_args))
         allfuns = allerrs = hist_mask = None
 

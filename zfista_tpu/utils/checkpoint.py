@@ -22,14 +22,21 @@ import numpy as np
 from zfista_tpu.core.solver import State
 
 
+def _normalize(path) -> Path:
+    # np.savez appends ".npz" to suffix-less paths; normalize both ends so
+    # save_state(p) / load_state(p) round-trip for any spelling.
+    path = Path(path)
+    return path if path.suffix == ".npz" else path.with_suffix(path.suffix + ".npz")
+
+
 def save_state(state: State, path) -> None:
     """Serialize a solver :class:`State` (single or batched) to ``.npz``."""
-    path = Path(path)
+    path = _normalize(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **{k: np.asarray(v) for k, v in state._asdict().items()})
 
 
 def load_state(path) -> State:
     """Load a :class:`State` saved by :func:`save_state`."""
-    with np.load(Path(path)) as data:
+    with np.load(_normalize(path)) as data:
         return State(**{k: jnp.asarray(data[k]) for k in State._fields})
