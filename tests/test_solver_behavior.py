@@ -150,3 +150,20 @@ def test_adaptive_restart_converges_and_helps_on_jos1():
         np.testing.assert_allclose(restarted.x, plain.x, atol=1e-4)
         worse += restarted.nit > plain.nit
     assert worse <= 1  # restart at least ties on nearly every start
+
+
+def test_project_momentum_fixes_zdt1_fista():
+    # The reference fails 100% of accelerated ZDT1 solves (extrapolation
+    # leaves the domain of sqrt; verified against /root/reference).  With
+    # feasible extrapolation (zero-weight prox = box projection), FISTA
+    # works on ZDT1 — capability beyond the reference.
+    prob = ZDT1(n_features=30)
+    rng = np.random.default_rng(7)
+    for x0 in rng.uniform(0.01, 1, size=(3, 30)):
+        plain = prob.minimize_proximal_gradient(x0, nesterov=True, max_iter=20000)
+        assert not plain.success  # reference-identical failure
+        fixed = prob.minimize_proximal_gradient(
+            x0, nesterov=True, max_iter=20000, project_momentum=True
+        )
+        assert fixed.success, fixed.message
+        assert np.all(np.asarray(fixed.x) >= 1e-6 - 1e-12)

@@ -34,6 +34,7 @@ class SolverOptions:
     deprecated: bool = False
     check_every: int = 1
     adaptive_restart: bool = False
+    project_momentum: bool = False
     history_chunk: int = 512
 
     def kwargs(self) -> dict:

@@ -102,6 +102,7 @@ def _make_step(
     deprecated: bool,
     verbose: bool,
     adaptive_restart: bool = False,
+    project_momentum: bool = False,
 ) -> Callable[[State], State]:
     """Build the jittable outer-iteration step (all options static)."""
     solve_sub = make_subproblem_solver(
@@ -211,6 +212,17 @@ def _make_step(
             t_new = jnp.sqrt(t_k**2 - a * t_k + b) + 0.5
             gamma = (t_k - 1) / t_new
             y_new = ls.x + gamma * (ls.x - state.x)
+            if project_momentum:
+                # Feasible extrapolation (opt-in): map y through the
+                # zero-weight prox — for box-constrained problems this is
+                # exactly the box projection, keeping y inside dom(f).
+                # The reference extrapolates unprojected and FAILS on every
+                # accelerated ZDT1/SD-type solve (sqrt/reciprocal leave
+                # their domain); this option makes acceleration usable
+                # there at the cost of diverging from reference paths.
+                y_new = prox_wsum_g(
+                    jnp.zeros((n_objectives,), y_new.dtype), y_new
+                )
         else:
             t_new = state.t
             y_new = ls.x
@@ -407,6 +419,7 @@ def minimize_proximal_gradient(
     initial_state: State | None = None,
     check_every: int = 1,
     adaptive_restart: bool = False,
+    project_momentum: bool = False,
 ) -> SolveResult:
     r"""Minimize :math:`F(x) = f(x) + g(x)` (scalar- or vector-valued).
 
@@ -456,6 +469,7 @@ def minimize_proximal_gradient(
         deprecated=deprecated,
         verbose=verbose,
         adaptive_restart=bool(adaptive_restart),
+        project_momentum=bool(project_momentum),
     )
     max_iter = int(max_iter)
 

@@ -121,6 +121,7 @@ def minimize_proximal_gradient_batch(
     in_sharding: Any = None,
     check_every: int = 1,
     adaptive_restart: bool = False,
+    project_momentum: bool = False,
     initial_states: State | None = None,
     keep_state: bool = True,
 ) -> BatchResult:
@@ -184,6 +185,7 @@ def minimize_proximal_gradient_batch(
         deprecated=deprecated,
         verbose=False,
         adaptive_restart=bool(adaptive_restart),
+        project_momentum=bool(project_momentum),
     )
     max_iter = int(max_iter)
 
