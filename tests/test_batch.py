@@ -125,3 +125,19 @@ def test_batch_adaptive_restart(toy_lasso):
     )
     assert bool(np.all(res.success))
     np.testing.assert_allclose(res.x, 0.95, atol=1e-4)
+
+
+def test_iter_chunked_driver_bitwise_identical(toy_lasso):
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    x0s = jnp.array([[0.0], [3.0], [-2.0]])
+    base = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, lr=0.4, nesterov=True
+    )
+    chunked = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s,
+        lr=0.4, nesterov=True, iter_chunk=5,
+    )
+    np.testing.assert_array_equal(chunked.x, base.x)
+    np.testing.assert_array_equal(chunked.nit, base.nit)
+    assert bool(np.all(chunked.success))

@@ -124,6 +124,7 @@ def minimize_proximal_gradient_batch(
     project_momentum: bool = False,
     initial_states: State | None = None,
     keep_state: bool = True,
+    iter_chunk: int | None = None,
 ) -> BatchResult:
     r"""Solve a batch of independent problems as one vmapped XLA program.
 
@@ -269,6 +270,43 @@ def minimize_proximal_gradient_batch(
         hist_mask = np.concatenate(m_hist, axis=0).swapaxes(0, 1)  # (B, T)
     else:
 
+        if iter_chunk is not None:
+            # Host-chunked driving: at most iter_chunk masked steps per
+            # device call, looping on the host until all lanes finish.
+            # Bounds single-kernel runtime — long monolithic while_loops
+            # over heavy lanes can outlive the device watchdog ("TPU
+            # device error" on ~20-minute kernels).  Bitwise identical to
+            # the single-kernel path (frozen lanes no-op).
+            K = int(iter_chunk)
+
+            @jax.jit
+            def run_chunk(states):
+                return lax.fori_loop(0, K, lambda _, s: run_step(s), states)
+
+            states = (
+                initial_states
+                if initial_states is not None
+                else jax.jit(vinit)(*init_args)
+            )
+            while bool(np.asarray(any_active(states))):
+                states = jax.block_until_ready(run_chunk(states))
+            allfuns = allerrs = hist_mask = None
+            elapsed = _time.perf_counter() - start
+            return _pack_result(
+                states,
+                x0s,
+                scalar_mode,
+                elapsed,
+                tol,
+                tol_internal,
+                nesterov,
+                nesterov_ratio,
+                allfuns,
+                allerrs,
+                hist_mask,
+                keep_state,
+            )
+
         @jax.jit
         def run(*args):
             states = vinit(*args) if initial_states is None else initial_states
@@ -294,7 +332,36 @@ def minimize_proximal_gradient_batch(
         allfuns = allerrs = hist_mask = None
 
     elapsed = _time.perf_counter() - start
+    return _pack_result(
+        states,
+        x0s,
+        scalar_mode,
+        elapsed,
+        tol,
+        tol_internal,
+        nesterov,
+        nesterov_ratio,
+        allfuns,
+        allerrs,
+        hist_mask,
+        keep_state,
+    )
 
+
+def _pack_result(
+    states,
+    x0s,
+    scalar_mode,
+    elapsed,
+    tol,
+    tol_internal,
+    nesterov,
+    nesterov_ratio,
+    allfuns,
+    allerrs,
+    hist_mask,
+    keep_state,
+) -> BatchResult:
     converged = np.asarray(states.converged)
     failed = np.asarray(states.failed)
     status = np.where(failed, 2, np.where(converged, 1, 0)).astype(np.int32)
@@ -319,7 +386,7 @@ def minimize_proximal_gradient_batch(
         nesterov=nesterov,
         nesterov_ratio=nesterov_ratio,
     )
-    if history:
+    if allfuns is not None:
         res.allfuns = allfuns
         res.allerrs = allerrs
         res.history_mask = hist_mask
