@@ -57,3 +57,27 @@ def test_group_lasso_recovers_group_sparsity():
     assert {0, 5} <= active  # true groups recovered
     # groups far from the support are (near) zero
     assert norms.max() > 10 * np.partition(norms, 2)[2] or len(active) <= 6
+
+
+def test_group_lasso_lambda_sweep_batched():
+    from zfista_tpu.models.lasso import make_group_lasso_lambda_sweep
+    from zfista_tpu.parallel.batch import minimize_proximal_gradient_batch
+
+    rng = np.random.default_rng(2)
+    m, n, gs = 40, 24, 4
+    A = rng.standard_normal((m, n)) / np.sqrt(m)
+    x_true = np.zeros(n)
+    x_true[:4] = rng.standard_normal(4)
+    b = A @ x_true
+    f, g, jac, prox = make_group_lasso_lambda_sweep(A, b, gs)
+    lams = jnp.asarray([1e-4, 1e-2, 1.0])
+    res = minimize_proximal_gradient_batch(
+        f, g, jac, prox, jnp.zeros((3, n)), batch_params=lams,
+        nesterov=True, max_iter=20000,
+    )
+    assert bool(np.all(res.success))
+    # heavier lambda => sparser groups
+    norms = [np.linalg.norm(np.asarray(res.x[i]).reshape(-1, gs), axis=1) for i in range(3)]
+    active = [int((nz > 1e-6).sum()) for nz in norms]
+    assert active[0] >= active[1] >= active[2]
+    assert active[2] < active[0]  # strong lambda prunes groups

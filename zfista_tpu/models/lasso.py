@@ -195,3 +195,35 @@ class GroupLasso(Problem):
 
     def lipschitz(self, n_iter: int = 50) -> float:
         return float(2 * operator_norm_sq(self.A, n_iter))
+
+
+def make_group_lasso_lambda_sweep(A, b, group_size: int):
+    """Per-lane-lambda group-lasso callables for the batched driver
+    (the group-lasso half of the sweep config; block soft-threshold prox).
+
+    Returns ``(f, g, jac_f, prox)``, each taking the lambda last.
+    """
+    from zfista_tpu.ops.prox import prox_group_lasso
+
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    gs = int(group_size)
+    if A.shape[1] % gs:
+        raise ValueError("n_features must divide by group_size")
+
+    def f(x, lam):
+        r = _DOT(A, x) - b
+        return jnp.reshape(jnp.dot(r, r), (1,))
+
+    def jac_f(x, lam):
+        return jnp.reshape(2 * _DOT(A.T, _DOT(A, x) - b), (1, -1))
+
+    def g(x, lam):
+        v = x.reshape(-1, gs)
+        return jnp.reshape(lam * jnp.sum(jnp.sqrt(jnp.sum(v * v, axis=-1))), (1,))
+
+    def prox(weight, x, lam):
+        w = weight[0] if getattr(weight, "ndim", 0) else weight
+        return prox_group_lasso(x, w * lam, gs)
+
+    return f, g, jac_f, prox
