@@ -211,7 +211,14 @@ def main(argv: Sequence[str] | None = None) -> None:
     cache_dir = out_dir / "cache"
     ratios_all: dict[str, dict] = {}
     rows = []
-    for problem, low, high in initialize_problems(large=args.large):
+    problems = initialize_problems(large=args.large)
+    try:  # tqdm progress over problem cells (reference: benchmark.py:51-69)
+        from tqdm import tqdm
+
+        problems = tqdm(problems, desc="problems", unit="cell")
+    except ImportError:
+        pass
+    for problem, low, high in problems:
         results = load_or_run_results(
             problem,
             low,
