@@ -8,6 +8,11 @@ numpy on CPU (reference: tests/test_proximal_gradient.py:43-114, pure-Python
 loop in zfista/proximal_gradient.py:474-538); ``vs_baseline`` is measured
 against that same iteration loop executed here on the host CPU via numpy so
 the ratio is apples-to-apples on this machine (target: >= 50x).
+
+The headline ``value`` is the PUBLIC API path (``Lasso.solve_fixed_step``
+end-to-end, check_every=8); ``raw_loop_iters_per_s`` is the hand-rolled
+``fori_loop`` over the same step, and ``public_over_raw`` is their ratio —
+the framework overhead users pay (target: >= 0.85).
 """
 
 from __future__ import annotations
@@ -42,6 +47,28 @@ def _reference_style_cpu_iters_per_s(A, b, lam, lr, n_iter=100, repeats=3):
 
     run_once()  # warmup (BLAS init, page faults)
     return n_iter / min(run_once() for _ in range(repeats))
+
+
+def _public_api_iters_per_s(A, b, lam, lr, n_iter: int) -> float:
+    """Time ``Lasso.solve_fixed_step`` END-TO-END — the path users call:
+    public facade -> compiled-driver cache -> ``lax.while_loop`` with
+    ``check_every=8`` masked unrolling.  ``tol=0`` pins the iteration count
+    to ``n_iter`` so the number is comparable with the raw loop."""
+    import time as _t
+
+    from zfista_tpu.models.lasso import Lasso
+
+    prob = Lasso(A, b, l1_ratio=float(lam))
+    x0 = np.zeros(A.shape[1], np.float32)
+    opts = dict(lr=float(lr), tol=0.0, check_every=8)
+    prob.solve_fixed_step(x0, max_iter=n_iter, **opts)  # compile + warm
+    best = np.inf
+    for _ in range(3):
+        start = _t.perf_counter()
+        res = prob.solve_fixed_step(x0, max_iter=n_iter, **opts)
+        best = min(best, _t.perf_counter() - start)
+    assert res.nit == n_iter
+    return n_iter / best
 
 
 def main() -> None:
@@ -84,16 +111,24 @@ def main() -> None:
     start = time.perf_counter()
     out = jax.block_until_ready(run(A, b, carry0))
     elapsed = time.perf_counter() - start
-    iters_per_s = n_iter / elapsed
+    raw_iters_per_s = n_iter / elapsed
+    del out
+
+    # The SAME workload through the public solver facade (the number users
+    # get; raw-loop vs public gap = framework overhead, target <= ~15%).
+    public_iters_per_s = _public_api_iters_per_s(A_np, b_np, 0.01, 1.0 / L, n_iter)
 
     cpu_ips = _reference_style_cpu_iters_per_s(A_np, b_np, 0.01, 1.0 / L)
     print(
         json.dumps(
             {
                 "metric": "lasso_n10k_fista_iterations_per_s",
-                "value": round(iters_per_s, 2),
+                "value": round(public_iters_per_s, 2),
                 "unit": "iter/s",
-                "vs_baseline": round(iters_per_s / cpu_ips, 2),
+                "vs_baseline": round(public_iters_per_s / cpu_ips, 2),
+                "raw_loop_iters_per_s": round(raw_iters_per_s, 2),
+                "public_over_raw": round(public_iters_per_s / raw_iters_per_s, 3),
+                "cpu_iters_per_s": round(cpu_ips, 2),
             }
         )
     )

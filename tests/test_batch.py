@@ -95,10 +95,67 @@ def test_batch_history(toy_lasso):
     )
     lst = res.to_list()
     for r in lst:
-        assert len(r.allfuns) == len(r.allerrs)
+        # allfuns[0] = F(x0) (reference return_all format), so it has one
+        # more entry than allerrs — same as the single-solve path.
+        assert len(r.allfuns) == len(r.allerrs) + 1
         assert len(r.allfuns) >= 1
         # error criterion decreasing towards tolerance at the end
         assert r.allerrs[-1] < 1e-5
+
+
+def test_batch_history_matches_single_return_all(toy_lasso):
+    """Batched record_vecs history == single-solve return_all, entrywise
+    (the reference's allvecs/allfuns/allerrs triple,
+    zfista/proximal_gradient.py:432-436, 546-549)."""
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    x0s = jnp.array([[0.0], [3.0]])
+    res = minimize_proximal_gradient_batch(
+        prob.f,
+        prob.g,
+        prob.jac_f,
+        prob.prox_wsum_g,
+        x0s,
+        lr=0.4,
+        nesterov=True,
+        record_vecs=True,  # implies history=True
+        history_chunk=32,
+    )
+    for r, x0 in zip(res.to_list(), x0s):
+        single = prob.minimize_proximal_gradient(
+            np.asarray(x0), lr=0.4, nesterov=True, return_all=True
+        )
+        assert len(r.allvecs) == len(single.allvecs)
+        assert len(r.allfuns) == len(single.allfuns)
+        assert len(r.allerrs) == len(single.allerrs)
+        assert len(r.allvecs) == len(r.allfuns) == len(r.allerrs) + 1
+        np.testing.assert_allclose(
+            np.asarray(r.allvecs), np.asarray(single.allvecs), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(r.allfuns), np.asarray(single.allfuns), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(r.allerrs), np.asarray(single.allerrs), atol=1e-7
+        )
+
+
+def test_batch_multiobjective_history_f0_row():
+    """Multiobjective batched history also leads with F(x0)."""
+    prob = JOS1(n_features=3)
+    x0s = jnp.asarray([[1.0, 2.0, 3.0], [0.5, 0.5, 0.5]])
+    res = minimize_proximal_gradient_batch(
+        prob.f,
+        prob.g,
+        prob.jac_f,
+        prob.prox_wsum_g,
+        x0s,
+        nesterov=True,
+        history=True,
+    )
+    for r, x0 in zip(res.to_list(), x0s):
+        F0 = np.asarray(prob.f(x0)) + np.asarray(prob.g(x0))
+        np.testing.assert_allclose(np.asarray(r.allfuns[0]), F0, atol=1e-7)
 
 
 def test_batch_sharded_placement(toy_lasso):

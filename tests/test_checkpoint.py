@@ -114,3 +114,22 @@ def test_checkpoint_path_without_suffix(tmp_path):
     save_state(r.state, tmp_path / "iter100")  # no .npz suffix
     st = load_state(tmp_path / "iter100")
     np.testing.assert_array_equal(np.asarray(st.x), np.asarray(r.state.x))
+
+
+def test_load_state_refuses_silent_downcast(tmp_path):
+    """A float64 checkpoint must not silently load as float32 when x64 is
+    off (ADVICE r1: bitwise-identical-resume contract)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from zfista_tpu.core.solver import init_state
+
+    import jax
+
+    state = init_state(jnp.zeros(3, jnp.float64), jnp.zeros(1, jnp.float64), 1, lr=1.0)
+    ckpt = tmp_path / "f64.npz"
+    save_state(state, ckpt)  # floating fields stored as float64
+    with jax.enable_x64(False):  # loader would canonicalize f64 -> f32
+        with pytest.raises(ValueError, match="refusing a silent precision"):
+            load_state(ckpt)
+    load_state(ckpt)  # x64 back on: loads fine

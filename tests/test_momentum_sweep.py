@@ -102,3 +102,32 @@ def test_lane_chunked_history_and_state_consistency():
     assert res.allfuns.shape[0] == B  # history merged across ragged chunks
     lst = res.to_list()
     assert len(lst) == B and all(len(r.allfuns) >= 1 for r in lst)
+
+
+def test_all_failed_pair_rows_are_guarded(tmp_path):
+    """A pair whose starts all fail yields time=nit=None / error_rate=1 and
+    empty CSV fields instead of NaNs (ADVICE r1)."""
+    from zfista_tpu.models.lasso import Lasso
+
+    A = np.array([[1.0], [0.0]])
+    b = np.array([1.0, 0.0])
+    prob = Lasso(A, b, l1_ratio=0.1)
+    # lr far above 2/L with aggressive backtracking disabled via
+    # max_backtrack_iter=1 makes every start fail the line search.
+    rows, _ = momentum_sweep(
+        prob,
+        -1.0,
+        1.0,
+        n_starts=2,
+        ab_grid=[(0.0, 0.25)],
+        lr=1e6,
+        max_backtrack_iter=1,
+        max_iter=50,
+    )
+    (row,) = rows
+    assert row["error_rate"] == 1.0
+    assert row["time"] is None and row["nit"] is None
+    out = tmp_path / "ab.csv"
+    write_ab_csv(rows, out)
+    line = out.read_text().strip()
+    assert line.endswith(",,"), line

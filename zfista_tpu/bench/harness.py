@@ -12,8 +12,9 @@ TPU-native deltas:
   (:func:`zfista_tpu.parallel.batch.minimize_proximal_gradient_batch`)
   instead of ``joblib.Parallel`` over processes
   (reference: benchmark.py:325-371).
-* Results are cached per (problem × variant) as ``.npz`` — same resume
-  granularity as the reference's pickle cache (benchmark.py:279-300).
+* Results are pickled per problem cell (all three variants together) —
+  same resume granularity as the reference's pickle cache
+  (benchmark.py:279-300).
 * ``max_iter`` defaults to 10_000 (the reference's 1e8 exists because its
   per-iteration cost is seconds; a vmapped batch converges or plateaus well
   inside 10k, and the cap is a CLI knob).
@@ -243,7 +244,11 @@ def main(argv: Sequence[str] | None = None) -> None:
             from zfista_tpu.bench import plots
 
             plots.show_pareto_front(
-                results, problem, save_to=pdir / "pareto_front.pdf"
+                results,
+                problem,
+                save_to=pdir / "pareto_front.pdf",
+                iteration=10,  # reference's third front layer (iters=10,
+                # benchmark.py:83,141-180)
             )
             plots.show_error_decay(results, save_to=pdir / "error_decay.pdf")
         print(f"{problem.name}: done")

@@ -60,9 +60,12 @@ def momentum_sweep(
     """Run the full (a, b) x starts grid as one batched solve.
 
     Returns ``(rows, result)`` where ``rows`` is a list of dicts
-    ``{a, b, time, nit, error_rate}`` (time = amortized seconds per solve,
-    matching the reference CSV semantics of mean-per-solve) and ``result``
-    is the raw :class:`~zfista_tpu.parallel.batch.BatchResult`.
+    ``{a, b, time, nit, error_rate}`` and ``result`` is the raw
+    :class:`~zfista_tpu.parallel.batch.BatchResult`.  ``time`` is a
+    MODELED per-pair attribution of the single shared wall clock
+    (proportional to mean iteration count), not a per-pair measurement —
+    the reference CSVs time each pair's process separately.  Pairs with no
+    successful start carry ``time=nit=None``.
     """
     grid = ab_grid if ab_grid is not None else AB_GRID
     rng = np.random.default_rng(seed)
@@ -136,7 +139,7 @@ def momentum_sweep(
                 return np.pad(a, width)
             return a
 
-        hist_keys = {"allfuns", "allerrs", "history_mask"}
+        hist_keys = {"allfuns", "allerrs", "history_mask", "allvecs"}
         lane_keys = [
             k
             for k, v in parts[0].items()
@@ -158,21 +161,32 @@ def momentum_sweep(
 
     nit = np.asarray(res.nit).reshape(len(grid), n_starts)
     ok = np.asarray(res.success).reshape(len(grid), n_starts)
-    # Per-solve time attribution: lanes run in lockstep until their own
-    # convergence, so a pair's share of the wall clock is proportional to
-    # its mean iteration count (the quantity the reference's per-process
-    # timing measures).
-    mean_nit = np.where(ok, nit, np.nan)
-    mean_nit = np.nanmean(mean_nit, axis=1)
-    time_share = total * mean_nit / np.nansum(mean_nit)
+    # Per-solve time ATTRIBUTION (an estimate, not a measurement): lanes run
+    # in lockstep until their own convergence, so a pair's share of the one
+    # shared wall clock is modeled as proportional to its mean iteration
+    # count.  The reference CSVs record measured per-process seconds
+    # instead; ratios between pairs are comparable, absolute values are an
+    # attribution model.  Pairs whose starts ALL fail get time=nit=None
+    # (error_rate=1) rather than NaN rows.
+    n_ok = ok.sum(axis=1)
+    sum_nit = np.where(ok, nit, 0).sum(axis=1)
+    mean_nit = np.divide(
+        sum_nit, n_ok, out=np.full(len(grid), np.nan), where=n_ok > 0
+    )
+    denom = np.nansum(mean_nit)
     rows = []
     for i, (a, b) in enumerate(grid):
+        failed_all = n_ok[i] == 0
         rows.append(
             dict(
                 a=str(a),
                 b=str(b),
-                time=float(time_share[i]),
-                nit=float(mean_nit[i]),
+                time=(
+                    None
+                    if failed_all
+                    else float(total * mean_nit[i] / denom)
+                ),
+                nit=None if failed_all else float(mean_nit[i]),
                 error_rate=float(1 - ok[i].mean()),
             )
         )
@@ -181,9 +195,16 @@ def momentum_sweep(
 
 def write_ab_csv(rows, path: Path) -> None:
     """Write the reference's CSV row format ``a ,b,time,nit``
-    (examples/data/JOS1_ab.csv:1-15)."""
+    (examples/data/JOS1_ab.csv:1-15).
+
+    The ``time`` column is the attribution estimate produced by
+    :func:`momentum_sweep` (modeled share of one shared wall clock), not a
+    measured per-pair duration.  All-failed pairs write empty time/nit
+    fields."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w") as fh:
         for r in rows:
-            fh.write(f"{r['a']} ,{r['b']},{round(r['time'], 3)},{round(r['nit'], 3)}\n")
+            t = "" if r["time"] is None else round(r["time"], 3)
+            n = "" if r["nit"] is None else round(r["nit"], 3)
+            fh.write(f"{r['a']} ,{r['b']},{t},{n}\n")

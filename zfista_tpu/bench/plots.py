@@ -43,18 +43,25 @@ def show_pareto_front(
     F0 = np.vstack([np.asarray(problem.f(jnp.asarray(r.x0))) for r in first])
     ax.scatter(*F0.T[:m], s=8, marker="x", c="gray", label="initial", alpha=0.5)
     for name, res_list in results.items():
-        with_hist = [r for r in res_list if r.get("allfuns")]
-        if iteration is not None and with_hist:
+        # k-th-iterate layer: allfuns[k] is the value after k iterations
+        # (allfuns[0] = F(x0)), runs with fewer iterations are skipped —
+        # reference semantics (benchmark.py:141-149).
+        with_hist = [
+            r
+            for r in res_list
+            if r.get("allfuns") and iteration is not None and r.nit >= iteration
+        ]
+        if with_hist:
             Fk = np.vstack(
-                [
-                    np.atleast_1d(
-                        r.allfuns[min(iteration, len(r.allfuns) - 1)]
-                    )
-                    for r in with_hist
-                ]
+                [np.atleast_1d(r.allfuns[iteration]) for r in with_hist]
             )
             ax.scatter(
-                *Fk.T[:m], s=6, label=f"{name} (k={iteration})", alpha=0.4
+                *Fk.T[:m],
+                s=8,
+                label=f"{name} ({iteration} iters)",
+                alpha=0.6,
+                facecolors="none",
+                edgecolors=f"C{list(results).index(name)}",
             )
         F = extract_function_values(res_list)
         ax.scatter(*F.T[:m], s=8, label=name, alpha=0.7)

@@ -103,8 +103,18 @@ def _make_step(
     verbose: bool,
     adaptive_restart: bool = False,
     project_momentum: bool = False,
+    track_objective: bool = True,
 ) -> Callable[[State], State]:
-    """Build the jittable outer-iteration step (all options static)."""
+    """Build the jittable outer-iteration step (all options static).
+
+    ``track_objective=False`` (legal only for scalar fixed-step solves with
+    no history/verbose consumer) skips the per-iteration ``F(x) = f(x) +
+    g(x)`` evaluation — on dense LASSO that is one of three matvecs, i.e.
+    ~1.5x throughput.  Nothing in the scalar fixed-lr iteration *reads*
+    ``F``: the prox step needs only the gradient, the convergence test only
+    ``||x - y||_inf``.  The carried ``F_x`` goes stale; callers recompute
+    it once at the end.  The iterate trajectory is bitwise identical.
+    """
     solve_sub = make_subproblem_solver(
         g,
         prox_wsum_g,
@@ -127,7 +137,11 @@ def _make_step(
         if fixed_lr:
             # decay_rate == 1: a single subproblem solve, accepted
             # unconditionally (reference: proximal_gradient.py:298-299).
-            sub, f_t, F_t = trial(state.lr, state.w)
+            if track_objective:
+                sub, f_t, F_t = trial(state.lr, state.w)
+            else:
+                sub = solve_sub(state.lr, F_old, state.y, f_y, jac_y, state.w)
+                f_t, F_t = f_y, F_old  # stale placeholders, never read
             w = sub.weight if warm_start else state.w
             return _LS(
                 lr=state.lr,
@@ -365,6 +379,48 @@ def make_scan_driver(step: Callable[[State], State], max_iter: int, chunk: int):
     return run
 
 
+#: Compiled-driver cache: repeated solves with the SAME callables, shapes
+#: and options reuse one traced+compiled XLA program instead of retracing
+#: per call (host-side tracing otherwise dominates short solves).  Keyed on
+#: callable identity — problem callables are assumed pure and frozen; data
+#: that changes between solves must ride in ``params`` (a jit argument),
+#: not in closures.
+_DRIVER_CACHE: dict = {}
+
+
+def _cached_driver(key, build):
+    run = _DRIVER_CACHE.get(key)
+    if run is None:
+        if len(_DRIVER_CACHE) > 128:
+            _DRIVER_CACHE.clear()
+        run = _DRIVER_CACHE[key] = build()
+    return run
+
+
+def _params_key(params):
+    if params is None:
+        return None
+    leaves, treedef = jax.tree.flatten(params)
+    return (
+        treedef,
+        tuple(
+            (np.shape(leaf), str(getattr(leaf, "dtype", np.asarray(leaf).dtype)))
+            for leaf in leaves
+        ),
+    )
+
+
+def _bind_params(f, g, jac_f, prox_wsum_g, p):
+    """Bind a ``params`` pytree as the trailing argument of the problem
+    callables (the single-solve analog of the batch driver's
+    ``batch_params`` convention)."""
+    fb = lambda x: f(x, p)
+    gb = lambda x: g(x, p)
+    jacb = (lambda x: jac_f(x, p)) if jac_f is not None else None
+    proxb = lambda w, x: prox_wsum_g(w, x, p)
+    return fb, gb, jacb, proxb
+
+
 def _normalize_problem(f, g, jac_f, prox_wsum_g, x0):
     """Normalize user callables to vector form: f,g -> (m,), jac -> (m,n),
     prox(w_vec, x). Returns (f, g, jac, prox, m, scalar_mode)."""
@@ -420,6 +476,7 @@ def minimize_proximal_gradient(
     check_every: int = 1,
     adaptive_restart: bool = False,
     project_momentum: bool = False,
+    params: Any = None,
 ) -> SolveResult:
     r"""Minimize :math:`F(x) = f(x) + g(x)` (scalar- or vector-valued).
 
@@ -436,6 +493,18 @@ def minimize_proximal_gradient(
     (:mod:`zfista_tpu.utils.checkpoint`); the continuation is bitwise
     identical to the uninterrupted run.  Solver options are not stored in
     the state — pass the same ones.
+
+    ``params`` (optional pytree) is threaded through the compiled program
+    as an ARGUMENT, with every callable taking it as its trailing
+    parameter: ``f(x, params)``, ``g(x, params)``, ``jac_f(x, params)``,
+    ``prox_wsum_g(w, x, params)``.  Use it for large operand data (design
+    matrices, observations): a closure-captured operand is embedded in the
+    program as a constant (measured 3x slower at n=10k, and it defeats the
+    compiled-driver cache), while ``params`` data is streamed per call.
+    Repeat solves with the SAME callables/shapes/options reuse one
+    compiled program; callables are assumed pure and frozen — mutating
+    data they close over between calls yields stale results (pass it via
+    ``params`` instead).
     """
     if deprecated:
         warnings.warn(
@@ -448,16 +517,22 @@ def minimize_proximal_gradient(
     x0 = jnp.asarray(x0)
     if not jnp.issubdtype(x0.dtype, jnp.floating):
         x0 = x0.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    if params is not None:
+        f_b, g_b, jac_b, prox_b = _bind_params(f, g, jac_f, prox_wsum_g, params)
+    else:
+        f_b, g_b, jac_b, prox_b = f, g, jac_f, prox_wsum_g
     f_v, g_v, jac_v, prox_v, m, scalar_mode = _normalize_problem(
-        f, g, jac_f, prox_wsum_g, x0
+        f_b, g_b, jac_b, prox_b, x0
     )
 
-    step = _make_step(
-        f_v,
-        g_v,
-        jac_v,
-        prox_v,
-        m,
+    # Scalar fixed-step solves with no per-iteration consumer of F skip the
+    # objective evaluation in the hot loop (one of three matvecs on dense
+    # problems) and recompute F once at the end; trajectories are
+    # bitwise identical (see _make_step).
+    skip_F = (
+        decay_rate == 1 and m == 1 and not return_all and not verbose
+    )
+    opts = dict(
         tol=tol,
         tol_internal=tol_internal,
         max_iter_internal=int(max_iter_internal),
@@ -470,8 +545,31 @@ def minimize_proximal_gradient(
         verbose=verbose,
         adaptive_restart=bool(adaptive_restart),
         project_momentum=bool(project_momentum),
+        track_objective=not skip_F,
     )
     max_iter = int(max_iter)
+
+    def make_step_for(p, template):
+        """Build the step with ``p`` bound (a tracer when jitted, so operand
+        data stays a program argument, never a baked-in constant)."""
+        if params is not None:
+            fb, gb, jacb, proxb = _bind_params(f, g, jac_f, prox_wsum_g, p)
+        else:
+            fb, gb, jacb, proxb = f, g, jac_f, prox_wsum_g
+        fv, gv, jacv, proxv, _, _ = _normalize_problem(fb, gb, jacb, proxb, template)
+        return _make_step(fv, gv, jacv, proxv, m, **opts)
+
+    cache_key_base = (
+        f,
+        g,
+        jac_f,
+        prox_wsum_g,
+        x0.shape,
+        str(x0.dtype),
+        _params_key(params),
+        tuple(sorted(opts.items())),
+        max_iter,
+    )
 
     if verbose:
         hdr = ["niter", "nit int", "max|xk - yk|", "subprob func", "lr"]
@@ -484,13 +582,27 @@ def minimize_proximal_gradient(
     state = initial_state if initial_state is not None else init_state(x0, F0, m, lr)
 
     if return_all:
+        if int(check_every) != 1:
+            warnings.warn(
+                "check_every > 1 is ignored when return_all=True (the scan "
+                "driver records every iteration).",
+                stacklevel=2,
+            )
         chunk = int(history_chunk)
-        run_chunk = jax.jit(make_scan_driver(step, max_iter, chunk))
+
+        def build_scan():
+            def run(state: State, p):
+                step = make_step_for(p, state.x)
+                return make_scan_driver(step, max_iter, chunk)(state)
+
+            return jax.jit(run)
+
+        run_chunk = _cached_driver(("scan", chunk) + cache_key_base, build_scan)
         xs_hist = [np.asarray(x0)[None]]
         fs_hist = [np.asarray(F0)[None]]
         errs_hist = []
         while True:
-            state, (xs, Fs, errs, rec) = run_chunk(state)
+            state, (xs, Fs, errs, rec) = run_chunk(state, params)
             rec_np = np.asarray(rec)
             n_rec = int(rec_np.sum())
             if n_rec:
@@ -509,9 +621,20 @@ def minimize_proximal_gradient(
         else:
             allfuns = list(allfuns_arr)
     else:
-        run = jax.jit(make_while_driver(step, max_iter, int(check_every)))
-        state = run(state)
-        state = jax.block_until_ready(state)
+
+        def build_while():
+            def run(state: State, p):
+                step = make_step_for(p, state.x)
+                return make_while_driver(step, max_iter, int(check_every))(state)
+
+            return jax.jit(run)
+
+        run = _cached_driver(
+            ("while", int(check_every)) + cache_key_base, build_while
+        )
+        state = jax.block_until_ready(run(state, params))
+        if skip_F:  # F_x was not tracked in the loop; one eval at the end
+            state = state._replace(F_x=f_v(state.x) + g_v(state.x))
         allvecs = allfuns = allerrs = None
 
     elapsed = _time.perf_counter() - start

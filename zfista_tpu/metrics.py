@@ -122,6 +122,16 @@ def hypervolume(
     zfista/metrics.py:144): zero-to-one normalize by the true front's
     ideal/nadir and measure against the all-ones corner.  With an explicit
     ``ref_point``: measure unnormalized against it.
+
+    .. note:: Parity scope.  The reference delegates to
+       ``pymoo.indicators.hv.Hypervolume(pf=front_true)``; depending on the
+       installed pymoo's ``zero_to_one`` default, its ABSOLUTE value may be
+       this one times the constant ``prod(nadir - ideal)`` of the true
+       front (an axis-aligned affine rescaling).  Per-problem performance
+       RATIOS between algorithms — the quantity the reference's benchmark
+       reports and compares — are identical under either convention.
+       pymoo is not available in this build environment, so only ratio
+       parity is asserted (tests/test_metrics.py).
     """
     F = np.atleast_2d(np.asarray(F, dtype=float))
     pts = extract_non_dominated_points(F)
@@ -212,6 +222,12 @@ def calculate_metrics(
     (zfista/metrics.py:103-199): the "true" front is pooled from the union
     of all algorithms' fronts; Purity/Γ/Δ are computed on each algorithm's
     intersection with that pooled front; averages are over successful runs.
+
+    .. note:: With results from the batched driver, each lane's ``time`` is
+       the batch wall clock divided evenly across lanes
+       (``BatchResult.to_list``), so "Avg computation time" is a per-batch
+       constant — comparable BETWEEN variants of the same batch shape, not
+       a per-solve measurement like the reference's per-process timing.
     """
     names, results = zip(*named_results)
     fronts = [

@@ -105,14 +105,54 @@ class Lasso(Problem):
 
     def solve_fixed_step(self, x0, **kwargs):
         """Fixed-step FISTA at ``lr = 1/L`` (no backtracking) — the
-        bandwidth-bound hot path the bench measures."""
+        bandwidth-bound hot path the bench measures.
+
+        ``A``/``b``/``lambda``/``mu`` ride through the solver's ``params``
+        argument, so the operator streams into the compiled program instead
+        of being embedded as a constant (3x at n=10k), and repeat solves
+        (any ``A`` of the same shape) reuse one compiled driver.
+        """
         if "lr" not in kwargs:  # setdefault would eval the 50-matvec
             kwargs["lr"] = 1.0 / self.lipschitz()  # power iteration eagerly
         kwargs.setdefault("decay_rate", 1)
         kwargs.setdefault("nesterov", True)
-        return minimize_proximal_gradient(
-            self.f, self.g, self.jac_f, self.prox_wsum_g, x0, **kwargs
+        dt = self.A.dtype
+        p = (
+            self.A,
+            self.b,
+            jnp.asarray(self.l1_ratio, dt),
+            jnp.asarray(self.l2_ratio, dt),
         )
+        return minimize_proximal_gradient(
+            _lasso_f_p, _lasso_g_p, _lasso_jac_p, _lasso_prox_p, x0,
+            params=p, **kwargs
+        )
+
+
+# Module-level params-style callables for Lasso.solve_fixed_step: stable
+# function identities (the solver's compiled-driver cache keys on them) with
+# all operand data — A, b, lambda, mu — in the params pytree
+# ``p = (A, b, lam, l2)``, traced as program arguments.
+def _lasso_f_p(x, p):
+    A, b, lam, l2 = p
+    r = _DOT(A, x) - b
+    return jnp.reshape(jnp.dot(r, r) + 0.5 * l2 * jnp.dot(x, x), (1,))
+
+
+def _lasso_jac_p(x, p):
+    A, b, lam, l2 = p
+    return jnp.reshape(2 * _DOT(A.T, _DOT(A, x) - b) + l2 * x, (1, -1))
+
+
+def _lasso_g_p(x, p):
+    A, b, lam, l2 = p
+    return jnp.reshape(lam * jnp.sum(jnp.abs(x)), (1,))
+
+
+def _lasso_prox_p(w, x, p):
+    A, b, lam, l2 = p
+    w = w[0] if getattr(w, "ndim", 0) else w
+    return soft_threshold(x, w * lam)
 
 
 def make_lasso_lambda_sweep(A, b):

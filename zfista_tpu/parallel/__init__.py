@@ -4,8 +4,11 @@ The reference's only parallelism is joblib multiprocessing over independent
 solves (reference: benchmarks/benchmark.py:325-371).  Here the scenario batch
 is one vmapped XLA program per chip (:mod:`zfista_tpu.parallel.batch`) that
 shards across chips/hosts on a ``jax.sharding.Mesh``
-(:mod:`zfista_tpu.parallel.sharding`).
+(:mod:`zfista_tpu.parallel.sharding`); multi-process / multi-host runtime
+setup lives in :mod:`zfista_tpu.parallel.distributed`.
 """
+
+from zfista_tpu.parallel import distributed
 
 from zfista_tpu.parallel.batch import (
     BatchResult,
@@ -21,6 +24,7 @@ from zfista_tpu.parallel.sharding import (
 
 __all__ = [
     "BatchResult",
+    "distributed",
     "minimize_proximal_gradient_batch",
     "make_mesh",
     "shard_batch",

@@ -23,12 +23,16 @@ Key mechanics:
 
 History (``history=True``) records per-iteration objective values and the
 error criterion (the quantities the reference's plots consume,
-benchmarks/benchmark.py:78-249) without materializing per-iteration iterates.
+benchmarks/benchmark.py:78-249); ``record_vecs=True`` additionally keeps the
+per-iteration iterates, giving every lane the reference's full
+``return_all`` triple (allvecs/allfuns/allerrs,
+reference zfista/proximal_gradient.py:432-436, 546-549).
 """
 
 from __future__ import annotations
 
 import time as _time
+import warnings
 from functools import partial
 from typing import Any, Callable
 
@@ -85,8 +89,22 @@ class BatchResult(SolveResult):
             )
             if self.get("allfuns") is not None:
                 mask = self.history_mask[i]
-                r.allfuns = list(np.asarray(self.allfuns[i])[mask])
+                funs = np.asarray(self.allfuns[i])[mask]
+                scalar = np.ndim(self.fun[i]) == 0
+                # Prepend F(x0) so histories align with the single-solve /
+                # reference ``return_all`` format, whose allfuns[0] is the
+                # initial value (reference proximal_gradient.py:432-436).
+                if self.get("F0") is not None:
+                    F0_i = np.asarray(self.F0[i])
+                    r.allfuns = [float(F0_i[0]) if scalar else F0_i]
+                else:
+                    r.allfuns = []
+                r.allfuns += [float(v[0]) if scalar else v for v in funs]
                 r.allerrs = list(np.asarray(self.allerrs[i])[mask])
+                if self.get("allvecs") is not None:
+                    r.allvecs = [np.asarray(self.x0[i])] + list(
+                        np.asarray(self.allvecs[i])[mask]
+                    )
             out.append(r)
         return out
 
@@ -95,6 +113,17 @@ def _bind(fn: Callable, p: Any) -> Callable:
     if p is None:
         return fn
     return lambda x: fn(x, p)
+
+
+def _host_array(a: Any) -> np.ndarray:
+    """Device array -> host numpy, gathering across processes when the
+    array is globally sharded (multi-process runs own only local shards;
+    ``np.asarray`` alone raises on non-fully-addressable arrays)."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
 
 
 def minimize_proximal_gradient_batch(
@@ -118,6 +147,7 @@ def minimize_proximal_gradient_batch(
     deprecated: bool = False,
     history: bool = False,
     history_chunk: int = 256,
+    record_vecs: bool = False,
     in_sharding: Any = None,
     check_every: int = 1,
     adaptive_restart: bool = False,
@@ -139,6 +169,11 @@ def minimize_proximal_gradient_batch(
     ``in_sharding`` (a ``jax.sharding.Sharding``) places the batch axis on
     a device mesh; everything else is sharding-agnostic.
 
+    ``history=True`` records per-iteration ``allfuns``/``allerrs``;
+    ``record_vecs=True`` additionally records per-iteration iterates
+    (``allvecs``, the reference's full ``return_all``) at a memory cost of
+    ``history_chunk x B x n`` floats per device chunk.
+
     Returns a :class:`BatchResult`; per-solve views via ``.to_list()``.
     """
     start = _time.perf_counter()
@@ -159,21 +194,31 @@ def minimize_proximal_gradient_batch(
         x0s = x0s.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
     has_params = batch_params is not None
-    p0 = (
-        jax.tree.map(lambda a: jnp.asarray(a)[0], batch_params)
-        if has_params
-        else None
-    )
-
+    # Probe the objective count ABSTRACTLY (shape/dtype only): no data is
+    # touched, so globally-sharded multi-process inputs never need an eager
+    # gather or a closure over non-addressable shards.
+    x_tmpl = jax.ShapeDtypeStruct(x0s.shape[1:], x0s.dtype)
     if has_params:
-        prox0 = lambda w, x: prox_wsum_g(w, x, p0)
+        p_tmpl = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(
+                np.shape(a)[1:],
+                a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype,
+            ),
+            batch_params,
+        )
+        out_shape = jax.eval_shape(lambda x, p: f(x, p), x_tmpl, p_tmpl)
     else:
-        prox0 = prox_wsum_g
-    jac0 = _bind(jac_f, p0) if jac_f is not None else None
-    _, _, _, _, m, scalar_mode = _normalize_problem(
-        _bind(f, p0), _bind(g, p0), jac0, prox0, x0s[0]
-    )
+        out_shape = jax.eval_shape(f, x_tmpl)
+    scalar_mode = out_shape.shape == ()
+    m = 1 if scalar_mode else out_shape.shape[0]
 
+    if record_vecs:
+        history = True  # iterate recording rides the history scan driver
+    # Scalar fixed-step batches with no history consumer skip the
+    # per-iteration F evaluation (one of three matvecs on dense problems)
+    # and recompute F once after the loop — trajectories are bitwise
+    # identical (see core.solver._make_step track_objective).
+    skip_F = decay_rate == 1 and m == 1 and not history
     static = dict(
         tol=tol,
         tol_internal=tol_internal,
@@ -187,6 +232,7 @@ def minimize_proximal_gradient_batch(
         verbose=False,
         adaptive_restart=bool(adaptive_restart),
         project_momentum=bool(project_momentum),
+        track_objective=not skip_F,
     )
     max_iter = int(max_iter)
 
@@ -199,10 +245,14 @@ def minimize_proximal_gradient_batch(
         return init_state(x0, f_v(x0) + g_v(x0), m, lr)
 
     has_ab = batch_nesterov_ratio is not None
+    # When no per-lane momentum is used the placeholder stays a host numpy
+    # array: it binds into the jitted program as a (replicated) constant,
+    # which also keeps the non-ab path valid under multi-process meshes
+    # (a device-committed placeholder would conflict with global inputs).
     ab_arr = (
         jnp.asarray(batch_nesterov_ratio, x0s.dtype)
         if has_ab
-        else jnp.zeros((x0s.shape[0], 2), x0s.dtype)
+        else np.zeros((x0s.shape[0], 2), np.dtype(x0s.dtype))
     )
     if has_ab and ab_arr.shape != (x0s.shape[0], 2):
         raise ValueError(
@@ -214,7 +264,11 @@ def minimize_proximal_gradient_batch(
         gp = _bind(g, p)
         jacp = _bind(jac_f, p) if jac_f is not None else None
         proxp = (lambda w, x: prox_wsum_g(w, x, p)) if has_params else prox_wsum_g
-        f_v, g_v, jac_v, prox_v, _, _ = _normalize_problem(fp, gp, jacp, proxp, x0s[0])
+        # state.x is this lane's tracer — shape/dtype template only (a
+        # closure over x0s[0] would capture non-addressable global shards).
+        f_v, g_v, jac_v, prox_v, _, _ = _normalize_problem(
+            fp, gp, jacp, proxp, state.x
+        )
         opts = dict(static)
         if has_ab:
             # Traced per-lane momentum pair (see core.solver._make_step).
@@ -224,50 +278,83 @@ def minimize_proximal_gradient_batch(
         new = step(state)
         return jax.tree.map(lambda a, b: jnp.where(active, a, b), new, state)
 
+    # Per-step data (lane params, momentum pairs) is threaded through the
+    # jitted drivers as ARGUMENTS, never closures: a closure would embed the
+    # batch as a program constant (slow for big operands, and outright
+    # disallowed for globally-sharded multi-process arrays).
     if has_params:
         vinit = jax.vmap(lane_init)
         vstep = jax.vmap(lane_step, in_axes=(0, 0, 0))
         init_args = (x0s, batch_params)
-        run_step = lambda s: vstep(s, batch_params, ab_arr)
+        run_step = lambda s, bp, ab: vstep(s, bp, ab)
+        step_args = (batch_params, ab_arr)
     else:
         vinit = jax.vmap(lambda x0: lane_init(x0, None))
         vstep = jax.vmap(lambda s, ab: lane_step(s, None, ab), in_axes=(0, 0))
         init_args = (x0s,)
-        run_step = lambda s: vstep(s, ab_arr)
+        run_step = lambda s, ab: vstep(s, ab)
+        step_args = (ab_arr,)
+    vinit_j = jax.jit(vinit)
+
+    def finalize_F(states: State) -> State:
+        """Recompute F(x) for skip_F runs (one batched eval; vinit already
+        computes F at its argument, so reuse its compiled program)."""
+        if not skip_F:
+            return states
+        fresh = vinit_j(states.x, *init_args[1:])
+        return states._replace(F_x=fresh.F_x)
 
     def any_active(states: State):
         return jnp.any(_active(states, max_iter))
 
     if history:
+        if check_every != 1:
+            warnings.warn(
+                "check_every > 1 is ignored when history=True (the scan "
+                "driver records every iteration).",
+                stacklevel=2,
+            )
         chunk = int(history_chunk)
 
-        def masked_scan_step(states: State, _):
-            active = jax.vmap(partial(_active, max_iter=max_iter))(states)
-            new = run_step(states)
-            rec = active & ~new.failed
-            return new, (new.F_x, new.err, rec)
-
         @jax.jit
-        def run_chunk(states: State):
+        def run_chunk(states: State, *sa):
+            def masked_scan_step(states: State, _):
+                active = jax.vmap(partial(_active, max_iter=max_iter))(states)
+                new = run_step(states, *sa)
+                rec = active & ~new.failed
+                out = (new.F_x, new.err, rec)
+                if record_vecs:
+                    out = out + (new.x,)
+                return new, out
+
             return lax.scan(masked_scan_step, states, None, length=chunk)
 
         states = (
             initial_states
             if initial_states is not None
-            else jax.jit(vinit)(*init_args)
+            else vinit_j(*init_args)
         )
-        f_hist, e_hist, m_hist = [], [], []
+        # Initial value F(x0) (or the resume point's value): prepended to
+        # each lane's history by ``to_list`` for reference return_all parity.
+        F0_all = _host_array(states.F_x)
+        f_hist, e_hist, m_hist, x_hist = [], [], [], []
         while True:
-            states, (Fs, errs, rec) = run_chunk(states)
-            rec_np = np.asarray(rec)  # (chunk, B)
-            f_hist.append(np.asarray(Fs))
-            e_hist.append(np.asarray(errs))
+            states, outs = run_chunk(states, *step_args)
+            Fs, errs, rec = outs[:3]
+            rec_np = _host_array(rec)  # (chunk, B)
+            f_hist.append(_host_array(Fs))
+            e_hist.append(_host_array(errs))
             m_hist.append(rec_np)
+            if record_vecs:
+                x_hist.append(_host_array(outs[3]))
             if not bool(np.asarray(any_active(states))) or not rec_np.any():
                 break
         allfuns = np.concatenate(f_hist, axis=0).swapaxes(0, 1)  # (B, T, m)
         allerrs = np.concatenate(e_hist, axis=0).swapaxes(0, 1)  # (B, T)
         hist_mask = np.concatenate(m_hist, axis=0).swapaxes(0, 1)  # (B, T)
+        allvecs = (
+            np.concatenate(x_hist, axis=0).swapaxes(0, 1) if record_vecs else None
+        )  # (B, T, n)
     else:
 
         if iter_chunk is not None:
@@ -280,17 +367,19 @@ def minimize_proximal_gradient_batch(
             K = int(iter_chunk)
 
             @jax.jit
-            def run_chunk(states):
-                return lax.fori_loop(0, K, lambda _, s: run_step(s), states)
+            def run_chunk(states, *sa):
+                return lax.fori_loop(
+                    0, K, lambda _, s: run_step(s, *sa), states
+                )
 
             states = (
                 initial_states
                 if initial_states is not None
-                else jax.jit(vinit)(*init_args)
+                else vinit_j(*init_args)
             )
             while bool(np.asarray(any_active(states))):
-                states = jax.block_until_ready(run_chunk(states))
-            allfuns = allerrs = hist_mask = None
+                states = jax.block_until_ready(run_chunk(states, *step_args))
+            states = finalize_F(states)
             elapsed = _time.perf_counter() - start
             return _pack_result(
                 states,
@@ -301,17 +390,17 @@ def minimize_proximal_gradient_batch(
                 tol_internal,
                 nesterov,
                 nesterov_ratio,
-                allfuns,
-                allerrs,
-                hist_mask,
+                None,
+                None,
+                None,
                 keep_state,
             )
 
         @jax.jit
-        def run(*args):
-            states = vinit(*args) if initial_states is None else initial_states
+        def run(states, *sa):
+            body = lambda s: run_step(s, *sa)
             if check_every == 1:
-                return lax.while_loop(any_active, run_step, states)
+                return lax.while_loop(any_active, body, states)
             # Amortize loop-trip overhead: the predicate (a cross-lane
             # any-reduce, an all-reduce under sharding) is evaluated every
             # check_every steps; lanes are masked per step, so results are
@@ -321,15 +410,22 @@ def minimize_proximal_gradient_batch(
                 lambda s: lax.fori_loop(
                     0,
                     int(check_every),
-                    lambda _, c: run_step(c),
+                    lambda _, c: body(c),
                     s,
                     unroll=min(int(check_every), 8),
                 ),
                 states,
             )
 
-        states = jax.block_until_ready(run(*init_args))
-        allfuns = allerrs = hist_mask = None
+        states = (
+            initial_states
+            if initial_states is not None
+            else vinit_j(*init_args)
+        )
+        states = jax.block_until_ready(run(states, *step_args))
+        states = finalize_F(states)
+        allfuns = allerrs = hist_mask = allvecs = None
+        F0_all = None
 
     elapsed = _time.perf_counter() - start
     return _pack_result(
@@ -345,6 +441,8 @@ def minimize_proximal_gradient_batch(
         allerrs,
         hist_mask,
         keep_state,
+        allvecs=allvecs,
+        F0=F0_all,
     )
 
 
@@ -361,22 +459,24 @@ def _pack_result(
     allerrs,
     hist_mask,
     keep_state,
+    allvecs=None,
+    F0=None,
 ) -> BatchResult:
-    converged = np.asarray(states.converged)
-    failed = np.asarray(states.failed)
+    converged = _host_array(states.converged)
+    failed = _host_array(states.failed)
     status = np.where(failed, 2, np.where(converged, 1, 0)).astype(np.int32)
-    fun = np.asarray(states.F_x)
+    fun = _host_array(states.F_x)
     if scalar_mode:
         fun = fun[:, 0]
     res = BatchResult(
-        x0=np.asarray(x0s),
-        x=np.asarray(states.x),
+        x0=_host_array(x0s),
+        x=_host_array(states.x),
         fun=fun,
-        weight=np.asarray(states.w),
-        nit=np.asarray(states.nit),
-        nit_internal=np.asarray(states.nit_internal),
-        lr=np.asarray(states.lr),
-        error_criterion=np.asarray(states.err),
+        weight=_host_array(states.w),
+        nit=_host_array(states.nit),
+        nit_internal=_host_array(states.nit_internal),
+        lr=_host_array(states.lr),
+        error_criterion=_host_array(states.err),
         success=converged & ~failed,
         status=status,
         message="batched solve",
@@ -390,12 +490,15 @@ def _pack_result(
         res.allfuns = allfuns
         res.allerrs = allerrs
         res.history_mask = hist_mask
+        res.F0 = F0
+        if allvecs is not None:
+            res.allvecs = allvecs
     if keep_state:
         # Resumable batched carry (utils.checkpoint round-trips it; pass
         # back via initial_states to continue bitwise-identically).  Costs
         # a device->host copy of ~2x the iterate batch (x and y) —
         # pass keep_state=False for huge-n sweeps that never checkpoint.
-        res.state = jax.tree.map(np.asarray, states)
+        res.state = jax.tree.map(_host_array, states)
     else:
         res.state = None
     return res

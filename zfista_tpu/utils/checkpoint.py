@@ -37,6 +37,26 @@ def save_state(state: State, path) -> None:
 
 
 def load_state(path) -> State:
-    """Load a :class:`State` saved by :func:`save_state`."""
+    """Load a :class:`State` saved by :func:`save_state`.
+
+    Raises ``ValueError`` if restoring would silently change a floating
+    dtype (e.g. a float64 checkpoint loaded with ``jax_enable_x64`` off
+    would downcast to float32 and break the bitwise-identical-resume
+    contract).  Enable x64 (or re-save in the target precision) instead.
+    """
     with np.load(_normalize(path)) as data:
-        return State(**{k: jnp.asarray(data[k]) for k in State._fields})
+        leaves = {}
+        for k in State._fields:
+            arr = jnp.asarray(data[k])
+            saved = data[k].dtype
+            if np.issubdtype(saved, np.floating) and arr.dtype != saved:
+                import jax
+
+                raise ValueError(
+                    f"checkpoint field {k!r} was saved as {saved} but would "
+                    f"load as {arr.dtype} (jax_enable_x64="
+                    f"{bool(jax.config.jax_enable_x64)}); refusing a silent "
+                    "precision change on resume"
+                )
+            leaves[k] = arr
+        return State(**leaves)
