@@ -11,6 +11,8 @@ configuration around (sweeps, services, serialized experiment specs):
 
 from __future__ import annotations
 
+from typing import Any
+
 from dataclasses import asdict, dataclass, field
 
 
@@ -37,11 +39,11 @@ class SolverOptions:
     project_momentum: bool = False
     history_chunk: int = 512
 
-    def kwargs(self) -> dict:
+    def kwargs(self) -> dict[str, Any]:
         """As a keyword dict for the solver facade."""
         return asdict(self)
 
-    def replace(self, **changes) -> "SolverOptions":
+    def replace(self, **changes: Any) -> "SolverOptions":
         from dataclasses import replace as _replace
 
         return _replace(self, **changes)

@@ -139,9 +139,14 @@ def _make_step(
             # unconditionally (reference: proximal_gradient.py:298-299).
             if track_objective:
                 sub, f_t, F_t = trial(state.lr, state.w)
+                sub_fun = sub.fun
             else:
                 sub = solve_sub(state.lr, F_old, state.y, f_y, jac_y, state.w)
-                f_t, F_t = f_y, F_old  # stale placeholders, never read
+                # Stale placeholders, never read downstream; carrying the
+                # OLD sub_fun (not sub.fun) makes the subproblem's model
+                # value dead code, so XLA also eliminates its reductions.
+                f_t, F_t = f_y, F_old
+                sub_fun = state.sub_fun
             w = sub.weight if warm_start else state.w
             return _LS(
                 lr=state.lr,
@@ -151,7 +156,7 @@ def _make_step(
                 f_x=f_t,
                 F_x=F_t,
                 w=w,
-                sub_fun=sub.fun,
+                sub_fun=sub_fun,
                 nits=sub.nit,
             )
 
@@ -514,6 +519,7 @@ def minimize_proximal_gradient(
         )
     start = _time.perf_counter()
 
+    x0_host = None if isinstance(x0, jax.Array) else np.asarray(x0)
     x0 = jnp.asarray(x0)
     if not jnp.issubdtype(x0.dtype, jnp.floating):
         x0 = x0.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
@@ -578,8 +584,33 @@ def minimize_proximal_gradient(
         print(line)
         print("|" + "|".join("-" * w for w in widths) + "|")
 
-    F0 = f_v(x0) + g_v(x0)
-    state = initial_state if initial_state is not None else init_state(x0, F0, m, lr)
+    def bound_fg(p):
+        if params is not None:
+            fb, gb, _, _ = _bind_params(f, g, jac_f, prox_wsum_g, p)
+        else:
+            fb, gb = f, g
+        return fb, gb
+
+    def traced_init(x0i: Array, lri: Array, p: Any) -> State:
+        """Initial State with F(x0), staged into whichever program calls
+        it (an eager F0 would dispatch each primitive separately —
+        expensive per-op round trips on remote backends)."""
+        fb, gb = bound_fg(p)
+        fv, gv, _, _, _, _ = _normalize_problem(fb, gb, None, lambda w, x: x, x0i)
+        return init_state(x0i, fv(x0i) + gv(x0i), m, lri)
+
+    def traced_final(st: State, p: Any) -> State:
+        """Recompute F(x) for skip_F runs, inside the same program."""
+        if not skip_F:
+            return st
+        fb, gb = bound_fg(p)
+        fv, gv, _, _, _, _ = _normalize_problem(fb, gb, None, lambda w, x: x, st.x)
+        return st._replace(F_x=fv(st.x) + gv(st.x))
+
+    if initial_state is not None:
+        state = initial_state
+    else:
+        state = None  # fresh solves fold init into the driver program
 
     if return_all:
         if int(check_every) != 1:
@@ -598,8 +629,15 @@ def minimize_proximal_gradient(
             return jax.jit(run)
 
         run_chunk = _cached_driver(("scan", chunk) + cache_key_base, build_scan)
-        xs_hist = [np.asarray(x0)[None]]
-        fs_hist = [np.asarray(F0)[None]]
+        if state is None:
+            init_run = _cached_driver(
+                ("init",) + cache_key_base, lambda: jax.jit(traced_init)
+            )
+            state = init_run(x0, jnp.asarray(lr, x0.dtype), params)
+        xs_hist = [
+            (x0_host.astype(np.dtype(x0.dtype), copy=False) if x0_host is not None else np.asarray(x0))[None]
+        ]
+        fs_hist = [np.asarray(state.F_x)[None]]
         errs_hist = []
         while True:
             state, (xs, Fs, errs, rec) = run_chunk(state, params)
@@ -621,45 +659,73 @@ def minimize_proximal_gradient(
         else:
             allfuns = list(allfuns_arr)
     else:
+        if state is None:
+            # Fresh solve: init + while-loop + final-F as ONE compiled
+            # program — a single dispatch per solve (round trips dominate
+            # short solves on remote backends).
+            def build_full():
+                def run(x0i: Array, lri: Array, p: Any) -> State:
+                    st = traced_init(x0i, lri, p)
+                    step = make_step_for(p, st.x)
+                    st = make_while_driver(step, max_iter, int(check_every))(st)
+                    return traced_final(st, p)
 
-        def build_while():
-            def run(state: State, p):
-                step = make_step_for(p, state.x)
-                return make_while_driver(step, max_iter, int(check_every))(state)
+                return jax.jit(run)
 
-            return jax.jit(run)
+            run_full = _cached_driver(
+                ("while_full", int(check_every)) + cache_key_base, build_full
+            )
+            state = jax.block_until_ready(
+                run_full(x0, jnp.asarray(lr, x0.dtype), params)
+            )
+        else:
 
-        run = _cached_driver(
-            ("while", int(check_every)) + cache_key_base, build_while
-        )
-        state = jax.block_until_ready(run(state, params))
-        if skip_F:  # F_x was not tracked in the loop; one eval at the end
-            state = state._replace(F_x=f_v(state.x) + g_v(state.x))
+            def build_while():
+                def run(st: State, p: Any) -> State:
+                    step = make_step_for(p, st.x)
+                    st = make_while_driver(step, max_iter, int(check_every))(st)
+                    return traced_final(st, p)
+
+                return jax.jit(run)
+
+            run = _cached_driver(
+                ("while", int(check_every)) + cache_key_base, build_while
+            )
+            state = jax.block_until_ready(run(state, params))
         allvecs = allfuns = allerrs = None
 
+    # One host transfer for the whole carry (field-by-field conversion
+    # would issue a device round trip per field).
+    host = jax.device_get(state)
     elapsed = _time.perf_counter() - start
 
-    converged = bool(state.converged)
-    failed = bool(state.failed)
-    fun = state.F_x[0] if scalar_mode else state.F_x
+    converged = bool(host.converged)
+    failed = bool(host.failed)
+    fun = host.F_x[0] if scalar_mode else host.F_x
     res = SolveResult(
-        x0=np.asarray(x0),
+        # reuse the host copy when the caller passed host data (fetching
+        # the uploaded x0 back would cost one more device round trip)
+        x0=(
+            x0_host.astype(np.dtype(x0.dtype), copy=False)
+            if x0_host is not None
+            else np.asarray(x0)
+        ),
         tol=tol,
         tol_internal=tol_internal,
         nesterov=nesterov,
         nesterov_ratio=nesterov_ratio,
-        x=np.asarray(state.x),
+        x=np.asarray(host.x),
         fun=np.asarray(fun),
-        weight=np.asarray(state.w),
-        nit=int(state.nit),
-        nit_internal=int(state.nit_internal),
-        lr=float(state.lr),
-        error_criterion=float(state.err),
+        weight=np.asarray(host.w),
+        nit=int(host.nit),
+        nit_internal=int(host.nit_internal),
+        lr=float(host.lr),
+        error_criterion=float(host.err),
         time=elapsed,
         allvecs=allvecs,
         allfuns=allfuns,
         allerrs=allerrs,
-        state=state,  # resumable carry (utils.checkpoint / initial_state)
+        state=host,  # resumable carry (utils.checkpoint / initial_state)
     )
     if failed:
         res.success = False

@@ -117,12 +117,9 @@ class Lasso(Problem):
         kwargs.setdefault("decay_rate", 1)
         kwargs.setdefault("nesterov", True)
         dt = self.A.dtype
-        p = (
-            self.A,
-            self.b,
-            jnp.asarray(self.l1_ratio, dt),
-            jnp.asarray(self.l2_ratio, dt),
-        )
+        p = (self.A, self.b, jnp.asarray(self.l1_ratio, dt))
+        if self.l2_ratio:
+            p = p + (jnp.asarray(self.l2_ratio, dt),)
         return minimize_proximal_gradient(
             _lasso_f_p, _lasso_g_p, _lasso_jac_p, _lasso_prox_p, x0,
             params=p, **kwargs
@@ -131,26 +128,34 @@ class Lasso(Problem):
 
 # Module-level params-style callables for Lasso.solve_fixed_step: stable
 # function identities (the solver's compiled-driver cache keys on them) with
-# all operand data — A, b, lambda, mu — in the params pytree
-# ``p = (A, b, lam, l2)``, traced as program arguments.
+# all operand data — A, b, lambda (and mu for elastic net) — in the params
+# pytree ``p = (A, b, lam[, l2])``, traced as program arguments.  The tuple
+# LENGTH is static (part of the jit key), so pure-LASSO solves omit l2 and
+# pay nothing for the elastic-net terms (a traced 0.0 could not be folded).
 def _lasso_f_p(x, p):
-    A, b, lam, l2 = p
+    A, b, lam = p[:3]
     r = _DOT(A, x) - b
-    return jnp.reshape(jnp.dot(r, r) + 0.5 * l2 * jnp.dot(x, x), (1,))
+    val = jnp.dot(r, r)
+    if len(p) > 3:
+        val = val + 0.5 * p[3] * jnp.dot(x, x)
+    return jnp.reshape(val, (1,))
 
 
 def _lasso_jac_p(x, p):
-    A, b, lam, l2 = p
-    return jnp.reshape(2 * _DOT(A.T, _DOT(A, x) - b) + l2 * x, (1, -1))
+    A, b, lam = p[:3]
+    grad = 2 * _DOT(A.T, _DOT(A, x) - b)
+    if len(p) > 3:
+        grad = grad + p[3] * x
+    return jnp.reshape(grad, (1, -1))
 
 
 def _lasso_g_p(x, p):
-    A, b, lam, l2 = p
+    lam = p[2]
     return jnp.reshape(lam * jnp.sum(jnp.abs(x)), (1,))
 
 
 def _lasso_prox_p(w, x, p):
-    A, b, lam, l2 = p
+    lam = p[2]
     w = w[0] if getattr(w, "ndim", 0) else w
     return soft_threshold(x, w * lam)
 

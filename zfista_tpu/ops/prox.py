@@ -89,7 +89,7 @@ def make_wsum_shifted_l1_box_prox(
     ``lr`` (scalar) for one objective or ``lr * w`` (shape ``(m,)``) otherwise.
     """
 
-    def prox(weight, x: Array) -> Array:
+    def prox(weight: Array, x: Array) -> Array:
         if l1_ratios is not None:
             coef = jnp.asarray(weight) * l1_ratios
             coef = jnp.atleast_1d(coef)
