@@ -56,10 +56,15 @@ def _public_api_iters_per_s(A, b, lam, lr, n_iter: int) -> float:
     to ``n_iter`` so the number is comparable with the raw loop."""
     import time as _t
 
+    import jax.numpy as jnp
+
     from zfista_tpu.models.lasso import Lasso
 
     prob = Lasso(A, b, l1_ratio=float(lam))
-    x0 = np.zeros(A.shape[1], np.float32)
+    # Device-resident x0, same as the raw loop's carry: re-uploading a host
+    # x0 every call costs ~28 ms through the device tunnel and would charge
+    # data movement (not framework overhead) to the public/raw ratio.
+    x0 = jnp.zeros(A.shape[1], jnp.float32)
     opts = dict(lr=float(lr), tol=0.0, check_every=8)
     prob.solve_fixed_step(x0, max_iter=n_iter, **opts)  # compile + warm
     best = np.inf

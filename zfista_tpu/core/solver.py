@@ -694,22 +694,21 @@ def minimize_proximal_gradient(
             state = jax.block_until_ready(run(state, params))
         allvecs = allfuns = allerrs = None
 
-    # One host transfer for the whole carry (field-by-field conversion
-    # would issue a device round trip per field).
-    host = jax.device_get(state)
+    # One host transfer for everything (field-by-field conversion would
+    # issue a device round trip per field); when the caller passed host
+    # data, reuse their copy instead of fetching the uploaded x0 back.
+    if x0_host is not None:
+        host = jax.device_get(state)
+        x0_res = x0_host.astype(np.dtype(x0.dtype), copy=False)
+    else:
+        host, x0_res = jax.device_get((state, x0))
     elapsed = _time.perf_counter() - start
 
     converged = bool(host.converged)
     failed = bool(host.failed)
     fun = host.F_x[0] if scalar_mode else host.F_x
     res = SolveResult(
-        # reuse the host copy when the caller passed host data (fetching
-        # the uploaded x0 back would cost one more device round trip)
-        x0=(
-            x0_host.astype(np.dtype(x0.dtype), copy=False)
-            if x0_host is not None
-            else np.asarray(x0)
-        ),
+        x0=x0_res,
         tol=tol,
         tol_internal=tol_internal,
         nesterov=nesterov,

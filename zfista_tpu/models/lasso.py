@@ -116,10 +116,15 @@ class Lasso(Problem):
             kwargs["lr"] = 1.0 / self.lipschitz()  # power iteration eagerly
         kwargs.setdefault("decay_rate", 1)
         kwargs.setdefault("nesterov", True)
-        dt = self.A.dtype
-        p = (self.A, self.b, jnp.asarray(self.l1_ratio, dt))
-        if self.l2_ratio:
-            p = p + (jnp.asarray(self.l2_ratio, dt),)
+        p = getattr(self, "_params_cache", None)
+        if p is None:
+            # Built once: a fresh scalar jnp.asarray per solve costs one
+            # host->device transfer each (RTT-priced on remote backends).
+            dt = self.A.dtype
+            p = (self.A, self.b, jnp.asarray(self.l1_ratio, dt))
+            if self.l2_ratio:
+                p = p + (jnp.asarray(self.l2_ratio, dt),)
+            self._params_cache = p
         return minimize_proximal_gradient(
             _lasso_f_p, _lasso_g_p, _lasso_jac_p, _lasso_prox_p, x0,
             params=p, **kwargs
