@@ -92,3 +92,39 @@ def test_params_multi_lambda_no_retrace():
     # Heavier regularization -> smaller coefficients actually took effect.
     res_a = prob_a.solve_fixed_step(x0, lr=lr, max_iter=200)
     assert np.sum(np.abs(res_b.x)) < np.sum(np.abs(res_a.x))
+
+
+def test_device_x0_matches_host_x0():
+    # Round-2 fast path: a device-resident x0 skips the host round trips
+    # (upload + fetch-back of res.x0) but must be numerically identical to
+    # the host-array path, and res.x0 must come back as host numpy either
+    # way.
+    A, b = _toy()
+    prob = Lasso(A, b, l1_ratio=0.01)
+    lr = 1.0 / prob.lipschitz()
+    host = prob.solve_fixed_step(np.zeros(A.shape[1]), lr=lr, max_iter=2000)
+    dev = prob.solve_fixed_step(
+        jnp.zeros(A.shape[1], jnp.asarray(A).dtype), lr=lr, max_iter=2000
+    )
+    assert host.nit == dev.nit
+    np.testing.assert_array_equal(host.x, dev.x)
+    assert isinstance(dev.x0, np.ndarray)
+    np.testing.assert_array_equal(host.x0, dev.x0)
+
+
+def test_lasso_params_tuple_cached_per_instance():
+    # solve_fixed_step builds its params tuple once (fresh scalar asarrays
+    # per solve cost one host->device transfer each, RTT-priced on remote
+    # backends) and reuses the SAME device buffers on repeat solves.
+    A, b = _toy()
+    prob = Lasso(A, b, l1_ratio=0.01)
+    lr = 1.0 / prob.lipschitz()
+    prob.solve_fixed_step(np.zeros(A.shape[1]), lr=lr, max_iter=100)
+    p1 = prob._params_cache
+    prob.solve_fixed_step(np.zeros(A.shape[1]), lr=lr, max_iter=100)
+    assert prob._params_cache is p1
+    # pure-LASSO tuples omit the elastic-net term entirely (static length)
+    assert len(p1) == 3
+    enet = Lasso(A, b, l1_ratio=0.01, l2_ratio=0.5)
+    enet.solve_fixed_step(np.zeros(A.shape[1]), lr=lr, max_iter=100)
+    assert len(enet._params_cache) == 4

@@ -11,8 +11,9 @@ TPU mapping:
 * ``f``/``jac_f`` are two dense matvecs — MXU work when batched (the
   scenario batch turns ``A @ x`` into ``A @ X.T``, a true matmul).
 * ``prox`` is closed-form soft-thresholding — fused by XLA into the
-  gradient step; a hand-written Pallas fused kernel lives in
-  :mod:`zfista_tpu.ops.fused` for the single-solve bandwidth-bound regime.
+  gradient step (measured optimal: the hand Pallas kernel in
+  :mod:`zfista_tpu.ops.fused` never beat XLA's fusion and is retired to
+  experimental; BENCHMARKS.md "Pallas kernel decision").
 * For n beyond one chip's HBM, lay out ``A`` as ``P(None, "model")`` and
   ``x`` as ``P("model")`` on a mesh (:mod:`zfista_tpu.parallel.sharding`):
   ``A @ x`` = local partial matvec + psum, ``Aᵀ r`` local — XLA inserts the

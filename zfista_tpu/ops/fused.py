@@ -12,9 +12,20 @@ The fused kernel here (:func:`fused_prox_momentum`) performs the entire
 elementwise chain in a single pass: 3 reads (``y, grad, x``) + 2 writes
 (``x⁺, y⁺``) per element, the roofline minimum.  Unfused, the same chain is
 7 reads + 3 writes (z, x⁺ as separate kernels); XLA usually fuses most of
-it, so both paths are kept and benchmarked against each other
-(``bench_kernels.py``) — the kernel must win at the roofline to justify
-itself (SURVEY.md §7 step 5).
+it, so both paths were benchmarked against each other — the kernel had to
+win at the roofline to justify itself (SURVEY.md §7 step 5).
+
+**STATUS: EXPERIMENTAL — retired from the dispatch path, with evidence.**
+The measured v5e sweep (``python -m zfista_tpu.bench.kernels``, table in
+BENCHMARKS.md "Pallas kernel decision") shows XLA's own fusion is at
+parity over n=1e4..1e6 (Pallas/XLA ratio 0.92-1.02, within noise) and
+4.5x FASTER at n=1e7 (XLA pipelines the streaming chain better than this
+single-axis blocked kernel).  An elementwise chain is exactly what the
+XLA fusion pass is built for; there is no headroom for a hand kernel.
+Nothing in the solver dispatches these kernels; they remain here as the
+framework's Pallas layer — tested for bit-parity (tests/test_fused.py)
+and ready for ops XLA *cannot* fuse (e.g. data-dependent scatter proxes),
+none of which this workload family has needed.
 
 All kernels are shape-static, pad to the (8, 128) f32 tile, and fall back
 to pure-jnp on non-TPU backends (tests run the Pallas path in interpreter
@@ -119,8 +130,9 @@ def fused_prox_momentum_xla(y, grad, x, lr, thresh, gamma):
 
 
 def fused_prox_momentum_auto(y, grad, x, lr, thresh, gamma):
-    """Pallas kernel on TPU, jnp fallback elsewhere (the dispatch the
-    module header promises)."""
+    """Pallas kernel on TPU, jnp fallback elsewhere.  EXPERIMENTAL: the
+    solver does not call this — the measured sweep (module header,
+    BENCHMARKS.md) showed XLA's own fusion at-or-above parity."""
     if _have_tpu():
         return fused_prox_momentum(y, grad, x, lr, thresh, gamma)
     return fused_prox_momentum_xla(y, grad, x, lr, thresh, gamma)
