@@ -133,3 +133,65 @@ def test_max_iter_exhaustion():
     assert not res.success
     assert res.status == 0
     assert res.nit == 2
+
+
+@pytest.mark.parametrize("check_every", [4, 8, 32])
+def test_chunk_select_bitwise_identical(check_every):
+    """Scalar fixed-step solves route check_every>1 through the chunk-select
+    driver (unconditional steps + first-stop fold, core/solver.py
+    make_while_driver). The result — including nit, which depends on picking
+    the FIRST converged intermediate of a chunk — must be bitwise identical
+    to check_every=1."""
+    f, g, jac_f, prox = make_lasso_toy(0.1)
+    x0 = jnp.array([0.3])
+    opts = dict(lr=1.5, decay_rate=1, nesterov=True)
+    base = minimize_proximal_gradient(f, g, jac_f, prox, x0, **opts)
+    fast = minimize_proximal_gradient(
+        f, g, jac_f, prox, x0, check_every=check_every, **opts
+    )
+    assert fast.nit == base.nit  # convergence mid-chunk, not at a boundary
+    np.testing.assert_array_equal(fast.x, base.x)
+    np.testing.assert_array_equal(fast.fun, base.fun)
+    assert fast.success and base.success
+    # The full resumable carry must match, including the y/t convergence
+    # freeze that the chunk-select fold patches in post-hoc.
+    for name, fa, ba in zip(base.state._fields, fast.state, base.state):
+        np.testing.assert_array_equal(fa, ba, err_msg=f"state field {name}")
+
+
+def test_chunk_select_max_iter_not_divisible():
+    """max_iter that is not a multiple of check_every must still stop at
+    exactly max_iter (the first intermediate with nit == max_iter wins the
+    chunk fold)."""
+    f, g, jac_f, prox = make_lasso_toy(1e-8)
+    x0 = jnp.array([0.3])
+    # tol=0 forces max_iter exhaustion regardless of convergence speed.
+    opts = dict(lr=1.5, decay_rate=1, nesterov=True, max_iter=10, tol=0.0)
+    with pytest.warns(UserWarning):
+        base = minimize_proximal_gradient(f, g, jac_f, prox, x0, **opts)
+    with pytest.warns(UserWarning):
+        fast = minimize_proximal_gradient(
+            f, g, jac_f, prox, x0, check_every=8, **opts
+        )
+    assert base.nit == fast.nit == 10
+    np.testing.assert_array_equal(fast.x, base.x)
+
+
+def test_chunk_select_resume_path():
+    """check_every>1 + initial_state (the build_while driver) also uses
+    chunk-select; the resumed run must match an uninterrupted solve."""
+    # lr below 1/L so convergence takes enough iterations to interrupt.
+    f, g, jac_f, prox = make_lasso_toy(0.1)
+    x0 = jnp.array([0.3])
+    opts = dict(lr=0.2, decay_rate=1, nesterov=True)
+    with pytest.warns(UserWarning):
+        part = minimize_proximal_gradient(
+            f, g, jac_f, prox, x0, max_iter=3, **opts
+        )
+    assert not part.success  # interrupted mid-solve, same tol as base
+    resumed = minimize_proximal_gradient(
+        f, g, jac_f, prox, x0, initial_state=part.state, check_every=8, **opts
+    )
+    base = minimize_proximal_gradient(f, g, jac_f, prox, x0, **opts)
+    assert resumed.nit == base.nit
+    np.testing.assert_array_equal(resumed.x, base.x)

@@ -104,6 +104,7 @@ def _make_step(
     adaptive_restart: bool = False,
     project_momentum: bool = False,
     track_objective: bool = True,
+    unguarded: bool = False,
 ) -> Callable[[State], State]:
     """Build the jittable outer-iteration step (all options static).
 
@@ -114,6 +115,14 @@ def _make_step(
     ``F``: the prox step needs only the gradient, the convergence test only
     ``||x - y||_inf``.  The carried ``F_x`` goes stale; callers recompute
     it once at the end.  The iterate trajectory is bitwise identical.
+
+    ``unguarded=True`` (only for the chunk-select driver,
+    :func:`make_while_driver`) drops the per-step convergence freeze on
+    ``y``/``t``: the select makes the next step's matvec wait on the full
+    ``||x - y||_inf`` reduction, a pipeline bubble in an otherwise
+    straight-line chunk.  The driver's post-hoc fold reproduces the freeze
+    exactly (it patches the converging state's ``y``/``t`` from its
+    predecessor), so results stay bitwise identical to the guarded step.
     """
     solve_sub = make_subproblem_solver(
         g,
@@ -275,12 +284,18 @@ def _make_step(
         def sel(new, old):
             return jnp.where(keep, old, new)
 
+        if unguarded:
+            y_out, t_out = y_new, t_new  # freeze applied by the driver fold
+        else:
+            y_out = jnp.where(converged_now, state.y, y_new)
+            t_out = jnp.where(converged_now, state.t, t_new)
+
         return State(
             x=sel(ls.x, state.x),
-            y=sel(jnp.where(converged_now, state.y, y_new), state.y),
+            y=sel(y_out, state.y),
             F_x=sel(ls.F_x, state.F_x),
             lr=sel(ls.lr, state.lr),
-            t=sel(jnp.where(converged_now, state.t, t_new), state.t),
+            t=sel(t_out, state.t),
             w=sel(ls.w, state.w),
             err=sel(err, state.err),
             sub_fun=sel(ls.sub_fun, state.sub_fun),
@@ -322,16 +337,39 @@ def _active(state: State, max_iter: int) -> Array:
 
 
 def make_while_driver(
-    step: Callable[[State], State], max_iter: int, check_every: int = 1
+    step: Callable[[State], State],
+    max_iter: int,
+    check_every: int = 1,
+    chunk_select: bool = False,
 ):
     """Whole solve as one ``lax.while_loop`` (no history).
 
     ``check_every > 1`` amortizes the loop-trip overhead (dispatch latency
     dominates cheap fixed-step iterations: measured 2.4-5x iterations/s on
     dense LASSO at unroll 4-8, BENCHMARKS.md): the loop predicate is
-    evaluated every ``check_every`` steps, with each inner step masked so a
+    evaluated every ``check_every`` steps, with the chunk constructed so a
     converged/failed state freezes in place — the final state is therefore
     BITWISE IDENTICAL to ``check_every=1``, including ``nit``.
+
+    Two chunk constructions (same semantics, different scheduling):
+
+    * ``chunk_select=False`` — ``fori_loop`` of per-step masked selects
+      (``unroll`` capped at 8: the step may contain nested while_loops —
+      line search, dual Newton — and fully unrolling those explodes
+      compile time).
+    * ``chunk_select=True`` — the chunk's steps run UNCONDITIONALLY as
+      straight-line code, then ONE reverse select-fold picks the first
+      inactive intermediate state (or the last, if none).  Removing the
+      per-step select breaks the false dependency between consecutive
+      matvecs, letting XLA software-pipeline the chunk like a raw
+      ``fori_loop``: measured 23.3k vs 21.6k iter/s (masked, unroll 32) vs
+      14.8k (unroll 8) on dense LASSO n=10k, v5e.  Exactness: on chunk
+      entry the state is active (the while predicate just held), each
+      ``step`` is deterministic, and everything computed past the first
+      inactive intermediate is discarded by the fold — identical to
+      freezing there.  Only legal when ``step`` is total straight-line
+      code (no inner while_loops, no side effects): the facade enables it
+      for scalar fixed-step non-verbose solves.
     """
 
     def masked_step(state: State) -> State:
@@ -339,24 +377,52 @@ def make_while_driver(
         new = step(state)
         return jax.tree.map(lambda a, b: jnp.where(active, a, b), new, state)
 
+    def chunk_body_select(s: State) -> State:
+        # Steps run unconditionally; one reverse fold then picks the first
+        # inactive intermediate.  The step is built ``unguarded`` (its
+        # output y/t are NOT frozen at convergence — that select would
+        # serialize the next matvec on the err reduction), so the fold
+        # restores the freeze here: a converged state's y/t are patched
+        # from its predecessor.  For a guarded step the patch is a no-op
+        # (y/t already equal the predecessor's), so both are exact.
+        prev = s
+        pairs = []
+        for _ in range(check_every):
+            c = step(prev)
+            pairs.append((c, prev))
+            prev = c
+
+        def patched(si: State, pr: State) -> State:
+            return si._replace(
+                y=jnp.where(si.converged, pr.y, si.y),
+                t=jnp.where(si.converged, pr.t, si.t),
+            )
+
+        out = patched(*pairs[-1])
+        for si, pr in reversed(pairs[:-1]):
+            stop = ~_active(si, max_iter)
+            out = jax.tree.map(
+                lambda a, b: jnp.where(stop, a, b), patched(si, pr), out
+            )
+        return out
+
     def run(state: State) -> State:
         if check_every == 1:
             return lax.while_loop(
                 partial(_active, max_iter=max_iter), step, state
             )
-        # Unroll in chunks of at most 8: full unrolling of a large
-        # check_every would explode compile time (the step body contains
-        # nested while_loops for line search and the dual solver).
-        return lax.while_loop(
-            partial(_active, max_iter=max_iter),
-            lambda s: lax.fori_loop(
+        if chunk_select:
+            body = chunk_body_select
+        else:
+            body = lambda s: lax.fori_loop(
                 0,
                 check_every,
                 lambda _, c: masked_step(c),
                 s,
                 unroll=min(check_every, 8),
-            ),
-            state,
+            )
+        return lax.while_loop(
+            partial(_active, max_iter=max_iter), body, state
         )
 
     return run
@@ -400,6 +466,24 @@ def _cached_driver(key, build):
             _DRIVER_CACHE.clear()
         run = _DRIVER_CACHE[key] = build()
     return run
+
+
+#: Device-scalar cache for per-solve option scalars (lr): a fresh
+#: ``jnp.asarray(float)`` per call is one host->device transfer, RTT-priced
+#: on remote backends — repeat solves with the same lr reuse the upload.
+_SCALAR_CACHE: dict = {}
+
+
+def _device_scalar(v, dtype):
+    if isinstance(v, jax.Array):
+        return v.astype(dtype) if v.dtype != dtype else v
+    key = (float(v), str(dtype))
+    arr = _SCALAR_CACHE.get(key)
+    if arr is None:
+        if len(_SCALAR_CACHE) > 1024:
+            _SCALAR_CACHE.clear()
+        arr = _SCALAR_CACHE[key] = jnp.asarray(v, dtype)
+    return arr
 
 
 def _params_key(params):
@@ -538,6 +622,21 @@ def minimize_proximal_gradient(
     skip_F = (
         decay_rate == 1 and m == 1 and not return_all and not verbose
     )
+    # Straight-line step (no inner while_loops: fixed lr, closed-form scalar
+    # subproblem) and no per-step side effects -> the while driver may run
+    # check_every chunks unconditionally and select the first stop
+    # afterwards, which XLA software-pipelines (see make_while_driver).
+    # Only meaningful on the while driver with chunks; the step is then
+    # built ``unguarded`` (no per-step y/t convergence freeze — the fold
+    # restores it), which would be wrong for the plain while_loop or the
+    # scan driver, hence the gating.
+    chunk_select = (
+        decay_rate == 1
+        and m == 1
+        and not verbose
+        and not return_all
+        and int(check_every) > 1
+    )
     opts = dict(
         tol=tol,
         tol_internal=tol_internal,
@@ -552,6 +651,7 @@ def minimize_proximal_gradient(
         adaptive_restart=bool(adaptive_restart),
         project_momentum=bool(project_momentum),
         track_objective=not skip_F,
+        unguarded=chunk_select,
     )
     max_iter = int(max_iter)
 
@@ -633,7 +733,7 @@ def minimize_proximal_gradient(
             init_run = _cached_driver(
                 ("init",) + cache_key_base, lambda: jax.jit(traced_init)
             )
-            state = init_run(x0, jnp.asarray(lr, x0.dtype), params)
+            state = init_run(x0, _device_scalar(lr, x0.dtype), params)
         xs_hist = [
             (x0_host.astype(np.dtype(x0.dtype), copy=False) if x0_host is not None else np.asarray(x0))[None]
         ]
@@ -667,7 +767,9 @@ def minimize_proximal_gradient(
                 def run(x0i: Array, lri: Array, p: Any) -> State:
                     st = traced_init(x0i, lri, p)
                     step = make_step_for(p, st.x)
-                    st = make_while_driver(step, max_iter, int(check_every))(st)
+                    st = make_while_driver(
+                        step, max_iter, int(check_every), chunk_select
+                    )(st)
                     return traced_final(st, p)
 
                 return jax.jit(run)
@@ -675,15 +777,18 @@ def minimize_proximal_gradient(
             run_full = _cached_driver(
                 ("while_full", int(check_every)) + cache_key_base, build_full
             )
-            state = jax.block_until_ready(
-                run_full(x0, jnp.asarray(lr, x0.dtype), params)
-            )
+            # No block_until_ready: the device_get below forces completion,
+            # and a separate block is one extra round trip per solve
+            # (~35 ms through the tunnel, measured).
+            state = run_full(x0, _device_scalar(lr, x0.dtype), params)
         else:
 
             def build_while():
                 def run(st: State, p: Any) -> State:
                     step = make_step_for(p, st.x)
-                    st = make_while_driver(step, max_iter, int(check_every))(st)
+                    st = make_while_driver(
+                        step, max_iter, int(check_every), chunk_select
+                    )(st)
                     return traced_final(st, p)
 
                 return jax.jit(run)
@@ -691,7 +796,7 @@ def minimize_proximal_gradient(
             run = _cached_driver(
                 ("while", int(check_every)) + cache_key_base, build_while
             )
-            state = jax.block_until_ready(run(state, params))
+            state = run(state, params)  # device_get below is the sync point
         allvecs = allfuns = allerrs = None
 
     # One host transfer for everything (field-by-field conversion would
