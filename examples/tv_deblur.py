@@ -1,0 +1,99 @@
+r"""TV-regularized image deblurring (BASELINE configs[1]).
+
+Solves  min_X ||blur(X) - b||^2 + lam * TV(X)  on the image domain with
+fixed-step accelerated proximal gradient (lr = 1/L), where the TV prox is
+the fixed-budget FGP dual solver of :mod:`zfista_tpu.ops.tv` compiled into
+the solver step.  The reference notebook solves the wavelet-L1 surrogate of
+this workload (its scipy solver has no TV prox); this example runs BOTH
+formulations on the same blurred observation and reports PSNR vs the ground
+truth, so the two regularizers are directly comparable.
+
+Usage:
+    python examples/tv_deblur.py [--size 256] [--image path.png]
+        [--tv-ratio 2e-4] [--l1-ratio 2e-5] [--max-iter 500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
+    mse = float(np.mean((a - b) ** 2))
+    return float(10 * np.log10(peak**2 / mse)) if mse > 0 else np.inf
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--image", type=Path, default=None)
+    parser.add_argument("--tv-ratio", type=float, default=2e-4)
+    parser.add_argument("--l1-ratio", type=float, default=2e-5)
+    parser.add_argument("--noise", type=float, default=1e-3)
+    parser.add_argument("--max-iter", type=int, default=500)
+    parser.add_argument("--tol", type=float, default=1e-5)
+    parser.add_argument("--prox-iter", type=int, default=30)
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from zfista_tpu.models.deblur import (
+        TVDeblur,
+        WaveletDeblur,
+        gaussian_kernel,
+        make_blur,
+        synthetic_cameraman,
+    )
+
+    if args.image is not None:
+        from PIL import Image
+
+        truth = np.asarray(
+            Image.open(args.image).convert("L"), dtype=np.float64
+        ) / 255.0
+    else:
+        truth = np.asarray(synthetic_cameraman(args.size))
+
+    kernel = gaussian_kernel()
+    blur = make_blur(kernel)
+    rng = np.random.default_rng(0)
+    observed = np.array(blur(jnp.asarray(truth)))
+    observed += args.noise * rng.standard_normal(observed.shape)
+    print(f"observed PSNR: {psnr(observed, truth):.2f} dB")
+
+    tv = TVDeblur(
+        observed,
+        tv_ratio=args.tv_ratio,
+        kernel=kernel,
+        prox_iter=args.prox_iter,
+    )
+    t0 = time.perf_counter()
+    res_tv = tv.solve(max_iter=args.max_iter, tol=args.tol)
+    t_tv = time.perf_counter() - t0
+    rec_tv = np.asarray(res_tv.x).reshape(observed.shape)
+    print(
+        f"TV       : {res_tv.nit:4d} it, {t_tv:6.2f} s, "
+        f"PSNR {psnr(rec_tv, truth):.2f} dB, F={float(np.ravel(res_tv.fun)[0]):.6g}"
+    )
+
+    wl = WaveletDeblur(jnp.asarray(observed), l1_ratio=args.l1_ratio)
+    t0 = time.perf_counter()
+    res_wl = wl.solve(max_iter=args.max_iter, tol=args.tol)
+    t_wl = time.perf_counter() - t0
+    from zfista_tpu.models.deblur import idwt2
+
+    rec_wl = np.asarray(
+        idwt2(jnp.reshape(jnp.asarray(res_wl.x), observed.shape), wl.levels)
+    )
+    print(
+        f"waveletL1: {res_wl.nit:4d} it, {t_wl:6.2f} s, "
+        f"PSNR {psnr(rec_wl, truth):.2f} dB, F={float(np.ravel(res_wl.fun)[0]):.6g}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -9,8 +9,12 @@ from zfista_tpu.ops.prox import (
     prox_shifted_l1,
     soft_threshold,
 )
+from zfista_tpu.ops.tv import prox_tv, tv2d, tv_dual_gap
 
 __all__ = [
+    "prox_tv",
+    "tv2d",
+    "tv_dual_gap",
     "soft_threshold",
     "prox_l1",
     "prox_shifted_l1",
