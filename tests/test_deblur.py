@@ -79,3 +79,42 @@ def test_deblur_solve_improves_image():
     # Objective must have decreased from the warm start.
     F0 = float(prob.f(prob.x0())[0] + prob.g(prob.x0())[0])
     assert float(np.atleast_1d(res.fun)[0]) < F0
+
+
+def test_separable_blur_matches_conv():
+    """The Gaussian kernel is rank-1 symmetric, so make_blur dispatches to
+    the banded-matmul path; it must match the explicit SAME conv (and be
+    self-adjoint) to f32 precision, including non-square images."""
+    from jax import lax
+
+    k = gaussian_kernel()
+    blur = make_blur(k)
+    rng = np.random.default_rng(0)
+
+    def conv_ref(img):
+        x = jnp.asarray(img)[None, None, :, :]
+        w = jnp.asarray(k)[None, None, :, :].astype(x.dtype)
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", precision=lax.Precision.HIGHEST
+        )[0, 0]
+
+    for shape in [(32, 32), (16, 48)]:
+        img = jnp.asarray(rng.standard_normal(shape))
+        np.testing.assert_allclose(
+            np.asarray(blur(img)), np.asarray(conv_ref(img)), atol=1e-5
+        )
+        # self-adjoint: <blur(X), Y> == <X, blur(Y)>
+        Y = jnp.asarray(rng.standard_normal(shape))
+        lhs = float(jnp.sum(blur(img) * Y))
+        rhs = float(jnp.sum(img * blur(Y)))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-6)
+
+
+def test_nonseparable_kernel_falls_back_to_conv():
+    rng = np.random.default_rng(1)
+    k = rng.random((5, 5))
+    k /= k.sum()  # generic kernel: full rank, not symmetric
+    blur = make_blur(k)
+    img = jnp.asarray(rng.standard_normal((16, 16)))
+    out = blur(img)
+    assert out.shape == img.shape  # conv path executes

@@ -159,6 +159,22 @@ def test_chunk_select_bitwise_identical(check_every):
         np.testing.assert_array_equal(fa, ba, err_msg=f"state field {name}")
 
 
+def test_chunk_select_with_adaptive_restart_bitwise():
+    """adaptive_restart stays eligible for chunk-select (fixed-step scalar);
+    the restart reads x/y/t mid-chain, so this guards the unguarded-step
+    fold against any divergence there."""
+    f, g, jac_f, prox = make_lasso_toy(0.1)
+    x0 = jnp.array([0.3])
+    opts = dict(lr=0.3, decay_rate=1, nesterov=True, adaptive_restart=True)
+    base = minimize_proximal_gradient(f, g, jac_f, prox, x0, **opts)
+    fast = minimize_proximal_gradient(
+        f, g, jac_f, prox, x0, check_every=8, **opts
+    )
+    assert fast.nit == base.nit
+    for name, fa, ba in zip(base.state._fields, fast.state, base.state):
+        np.testing.assert_array_equal(fa, ba, err_msg=f"state field {name}")
+
+
 def test_chunk_select_max_iter_not_divisible():
     """max_iter that is not a multiple of check_every must still stop at
     exactly max_iter (the first intermediate with nit == max_iter wins the

@@ -69,7 +69,7 @@ def prox_tv(
     n_iter: int = 50,
     isotropic: bool = True,
     return_dual: bool = False,
-) -> Array:
+) -> Array | tuple[Array, tuple[Array, Array]]:
     r"""Prox of ``lam * TV``: ``argmin_u 0.5 ||u - v||^2 + lam TV(u)``.
 
     FGP: FISTA on the dual
