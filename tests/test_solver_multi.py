@@ -175,3 +175,47 @@ def test_deprecated_condition():
         )
     assert res.success
     assert_array_almost_equal(res.x, [0.85], decimal=3)
+
+
+def test_solve_small_linear_matches_numpy():
+    from zfista_tpu.core.subproblem import solve_small_linear
+
+    rng = np.random.default_rng(0)
+    for n in (2, 4, 6):
+        for _ in range(5):
+            K = rng.standard_normal((n, n)) + n * np.eye(n)
+            b = rng.standard_normal(n)
+            x = solve_small_linear(jnp.asarray(K), jnp.asarray(b))
+            np.testing.assert_allclose(
+                np.asarray(x), np.linalg.solve(K, b), rtol=1e-5, atol=1e-8
+            )
+    # pivoting: zero on the diagonal must still solve
+    K = np.array([[0.0, 1.0], [1.0, 0.0]])
+    b = np.array([2.0, 3.0])
+    np.testing.assert_allclose(
+        np.asarray(solve_small_linear(jnp.asarray(K), jnp.asarray(b))),
+        np.array([3.0, 2.0]),
+        atol=1e-12,
+    )
+    # singular systems propagate non-finite values (the Newton fallback
+    # test relies on this, like jnp.linalg.solve)
+    K = np.ones((3, 3))
+    b = np.array([1.0, 2.0, 3.0])
+    x = np.asarray(solve_small_linear(jnp.asarray(K), jnp.asarray(b)))
+    assert not np.all(np.isfinite(x))
+
+
+def test_solve_small_linear_vmaps():
+    import jax
+    from zfista_tpu.core.subproblem import solve_small_linear
+
+    rng = np.random.default_rng(1)
+    Ks = rng.standard_normal((16, 4, 4)) + 4 * np.eye(4)
+    bs = rng.standard_normal((16, 4))
+    xs = jax.vmap(solve_small_linear)(jnp.asarray(Ks), jnp.asarray(bs))
+    np.testing.assert_allclose(
+        np.asarray(xs),
+        np.linalg.solve(Ks, bs[..., None])[..., 0],
+        rtol=1e-5,
+        atol=1e-8,
+    )

@@ -103,6 +103,36 @@ def _make_dual(f_y, jac_f_y, F_old, g, prox_wsum_g, lr, y, deprecated: bool):
     return primal_at, value_and_grad
 
 
+def solve_small_linear(K: Array, b: Array) -> Array:
+    """Solve ``K x = b`` for a SMALL static-size square system by fully
+    unrolled Gauss-Jordan elimination with partial pivoting.
+
+    Pure vector ops (gather/where/outer) — no ``lax.linalg`` lowering.
+    Batched ``lax.linalg`` kernels are a known hazard on this TPU backend
+    at large vmap widths (batched ``eigvalsh`` faults it, see the
+    ``Ls``-bound comment in :func:`make_subproblem_solver`; batched LU
+    from ``jnp.linalg.solve`` is implicated in the m>=3 large-batch
+    crash, BENCHMARKS.md "known cliffs").  For the (m+1)-sized KKT
+    systems here (4-6 unknowns) unrolled elimination is also cheaper
+    than a general LU.  Singular systems produce inf/nan (zero pivot
+    divides through, IEEE semantics) exactly like ``jnp.linalg.solve``,
+    which the Newton fallback logic relies on.
+    """
+    n = K.shape[-1]
+    A = jnp.concatenate([K, b[:, None]], axis=-1)
+    idx = jnp.arange(n)
+    for k in range(n):
+        mag = jnp.where(idx < k, -jnp.inf, jnp.abs(A[:, k]))
+        p = jnp.argmax(mag)
+        rowk, rowp = A[k], A[p]
+        A = A.at[k].set(rowp).at[p].set(rowk)
+        row_scaled = A[k] / A[k, k]
+        factors = jnp.where(idx == k, 0.0, A[:, k])
+        A = A - factors[:, None] * row_scaled[None, :]
+        A = A.at[k].set(row_scaled)
+    return A[:, n]
+
+
 def make_subproblem_solver(
     g: Callable[[Array], Array],
     prox_wsum_g: Callable[[Array, Array], Array],
@@ -283,7 +313,7 @@ def make_subproblem_solver(
             K = K.at[:m, m].set(fm)
             K = K.at[m, :m].set(fm)
             rhs = jnp.concatenate([-grad * fm, jnp.zeros((1,), dtype)])
-            d_newton = jnp.linalg.solve(K, rhs)[:m]
+            d_newton = solve_small_linear(K, rhs)[:m]
             # Active coordinates move along the scaled negative gradient;
             # the projection arc clips them back if they head outward.
             d_newton = d_newton - (1.0 - fm) * grad / Ls
