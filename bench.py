@@ -10,7 +10,7 @@ against that same iteration loop executed here on the host CPU via numpy so
 the ratio is apples-to-apples on this machine (target: >= 50x).
 
 The headline ``value`` is the PUBLIC API path (``Lasso.solve_fixed_step``
-end-to-end, check_every=64); ``raw_loop_iters_per_s`` is the hand-rolled
+end-to-end, check_every=128); ``raw_loop_iters_per_s`` is the hand-rolled
 ``fori_loop`` over the same step, and ``public_over_raw`` is their ratio —
 the framework overhead users pay (target: >= 0.85).
 """
@@ -52,7 +52,7 @@ def _reference_style_cpu_iters_per_s(A, b, lam, lr, n_iter=100, repeats=3):
 def _public_api_iters_per_s(A, b, lam, lr, n_iter: int) -> float:
     """Time ``Lasso.solve_fixed_step`` END-TO-END — the path users call:
     public facade -> compiled-driver cache -> ``lax.while_loop`` with
-    ``check_every=64`` chunk-select unrolling.  ``tol=0`` pins the iteration count
+    ``check_every=128`` chunk-select unrolling.  ``tol=0`` pins the iteration count
     to ``n_iter`` so the number is comparable with the raw loop."""
     import time as _t
 
@@ -65,7 +65,7 @@ def _public_api_iters_per_s(A, b, lam, lr, n_iter: int) -> float:
     # x0 every call costs ~28 ms through the device tunnel and would charge
     # data movement (not framework overhead) to the public/raw ratio.
     x0 = jnp.zeros(A.shape[1], jnp.float32)
-    opts = dict(lr=float(lr), tol=0.0, check_every=64)
+    opts = dict(lr=float(lr), tol=0.0, check_every=128)
     prob.solve_fixed_step(x0, max_iter=n_iter, **opts)  # compile + warm
     best = np.inf
     for _ in range(3):
@@ -103,12 +103,12 @@ def main() -> None:
     @jax.jit
     def run(A, b, carry):
         # A/b as arguments (not closure constants); deep unroll lets XLA
-        # software-pipeline consecutive steps (measured optimum unroll=64:
-        # 25.6k iter/s vs 17.1k at 8 on v5e; BENCHMARKS.md).
+        # software-pipeline consecutive steps (measured: 27.8k iter/s at
+        # unroll=128 vs 17.1k at 8 on v5e; BENCHMARKS.md unroll sweep).
         def body(_, c):
             return fista_step_dense(A, b, lam, lr, c)
 
-        return lax.fori_loop(0, n_iter, body, carry, unroll=64)
+        return lax.fori_loop(0, n_iter, body, carry, unroll=128)
 
     x0 = jnp.zeros((n,), dev_dtype)
     carry0 = (x0, x0, jnp.asarray(1.0, dev_dtype))
