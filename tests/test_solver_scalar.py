@@ -211,3 +211,44 @@ def test_chunk_select_resume_path():
     base = minimize_proximal_gradient(f, g, jac_f, prox, x0, **opts)
     assert resumed.nit == base.nit
     np.testing.assert_array_equal(resumed.x, base.x)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_chunk_select_randomized_property(seed):
+    """Property check: for random quadratic+L1 problems, random lr, random
+    momentum pairs and a check_every that is NOT a divisor of anything
+    special (7), the chunk-select driver is bitwise identical to the
+    step-by-step driver, whatever iteration the solve stops at."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 6))
+    A = rng.standard_normal((8, n))
+    b = rng.standard_normal(8)
+    lam = float(rng.uniform(0.01, 0.5))
+    f = lambda x: jnp.sum((A @ x - b) ** 2)
+    jac = lambda x: 2 * (A.T @ (A @ x - b))
+    g = lambda x: lam * jnp.sum(jnp.abs(x))
+    prox = lambda t, x: jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam * t, 0)
+    L = 2 * np.linalg.norm(A, 2) ** 2
+    lr = float(rng.uniform(0.3, 1.0)) / L
+    a_m = float(rng.choice([0, 0.5, 0.75]))
+    b_m = float(rng.uniform(0.05, 0.25))
+    x0 = jnp.asarray(rng.standard_normal(n))
+    opts = dict(
+        lr=lr,
+        decay_rate=1,
+        nesterov=True,
+        nesterov_ratio=(a_m, b_m),
+        max_iter=200,
+        tol=1e-6,
+    )
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        base = minimize_proximal_gradient(f, g, jac, prox, x0, **opts)
+        fast = minimize_proximal_gradient(
+            f, g, jac, prox, x0, check_every=7, **opts
+        )
+    assert fast.nit == base.nit
+    for name, fa, ba in zip(base.state._fields, fast.state, base.state):
+        np.testing.assert_array_equal(fa, ba, err_msg=f"state field {name}")

@@ -389,6 +389,14 @@ def make_while_driver(
         pairs = []
         for _ in range(check_every):
             c = step(prev)
+            # Barrier between steps: without it XLA fuses elementwise ops
+            # ACROSS unrolled steps, changing FMA contraction and drifting
+            # results by ~1 ulp/op vs the sequential program (caught by
+            # the randomized property test).  The barrier pins each step
+            # to the sequential program's rounding; it carries no data
+            # dependency, so the matvec chain still pipelines (measured
+            # no throughput change on the TPU headline).
+            c = lax.optimization_barrier(c)
             pairs.append((c, prev))
             prev = c
 
