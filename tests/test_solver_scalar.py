@@ -252,3 +252,33 @@ def test_chunk_select_randomized_property(seed):
     assert fast.nit == base.nit
     for name, fa, ba in zip(base.state._fields, fast.state, base.state):
         np.testing.assert_array_equal(fa, ba, err_msg=f"state field {name}")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_masked_driver_randomized_property(seed):
+    """The masked fori driver (backtracking solves route check_every>1 here,
+    not chunk-select) must also match check_every=1 bitwise on random
+    problems — guards the unroll<=8 masked construction against the
+    cross-step fusion drift the chunk-select barrier fixes."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 6))
+    A = rng.standard_normal((8, n))
+    b = rng.standard_normal(8)
+    lam = float(rng.uniform(0.01, 0.5))
+    f = lambda x: jnp.sum((A @ x - b) ** 2)
+    jac = lambda x: 2 * (A.T @ (A @ x - b))
+    g = lambda x: lam * jnp.sum(jnp.abs(x))
+    prox = lambda t, x: jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam * t, 0)
+    x0 = jnp.asarray(rng.standard_normal(n))
+    opts = dict(lr=1.0, nesterov=True, max_iter=200, tol=1e-6)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        base = minimize_proximal_gradient(f, g, jac, prox, x0, **opts)
+        fast = minimize_proximal_gradient(
+            f, g, jac, prox, x0, check_every=7, **opts
+        )
+    assert fast.nit == base.nit
+    for name, fa, ba in zip(base.state._fields, fast.state, base.state):
+        np.testing.assert_array_equal(fa, ba, err_msg=f"state field {name}")
