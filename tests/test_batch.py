@@ -198,3 +198,27 @@ def test_iter_chunked_driver_bitwise_identical(toy_lasso):
     np.testing.assert_array_equal(chunked.x, base.x)
     np.testing.assert_array_equal(chunked.nit, base.nit)
     assert bool(np.all(chunked.success))
+
+
+def test_batch_check_every_bitwise():
+    """check_every>1 on the batch driver (masked per-step construction)
+    must match check_every=1 bitwise on random problems, mirroring the
+    single-solve drivers' property tests."""
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((12, 6))
+    b = rng.standard_normal(12)
+    lam = 0.1
+    f = lambda x: jnp.sum((A @ x - b) ** 2)
+    jac = lambda x: 2 * (A.T @ (A @ x - b))
+    g = lambda x: lam * jnp.sum(jnp.abs(x))
+    prox = lambda t, x: jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam * t, 0)
+    x0s = jnp.asarray(rng.standard_normal((5, 6)))
+    opts = dict(lr=1.0, nesterov=True, tol=1e-6, max_iter=300)
+    base = minimize_proximal_gradient_batch(f, g, jac, prox, x0s, **opts)
+    fast = minimize_proximal_gradient_batch(
+        f, g, jac, prox, x0s, check_every=7, **opts
+    )
+    for name, fa, ba in zip(base.state._fields, fast.state, base.state):
+        np.testing.assert_array_equal(
+            np.asarray(fa), np.asarray(ba), err_msg=f"state field {name}"
+        )
