@@ -118,3 +118,51 @@ def test_nonseparable_kernel_falls_back_to_conv():
     img = jnp.asarray(rng.standard_normal((16, 16)))
     out = blur(img)
     assert out.shape == img.shape  # conv path executes
+
+
+def test_even_kernel_falls_back_to_conv():
+    """Even-length separable kernels cannot be expressed by the
+    odd-centered band matrix (SAME offsets differ); they must take the
+    conv path and still match the explicit conv (review finding)."""
+    from jax import lax
+
+    g1 = np.exp(-((np.arange(8) - 3.5) ** 2) / 8.0)
+    k = np.outer(g1, g1)
+    k /= k.sum()
+    blur = make_blur(k)
+    img = jnp.ones((16, 16))
+    x4 = img[None, None]
+    w = jnp.asarray(k)[None, None].astype(img.dtype)
+    ref = lax.conv_general_dilated(
+        x4, w, (1, 1), "SAME", precision=lax.Precision.HIGHEST
+    )[0, 0]
+    np.testing.assert_allclose(np.asarray(blur(img)), np.asarray(ref), atol=1e-6)
+
+
+def test_negative_rank1_kernel_not_sign_flipped():
+    """K = -a a^T is rank-1 symmetric but NOT expressible as taps taps^T;
+    the matmul path would silently negate the output (review finding) —
+    must fall back to conv."""
+    a = np.array([0.25, 0.5, 0.25])
+    k = -np.outer(a, a)
+    blur = make_blur(k)
+    img = jnp.ones((8, 8))
+    out = np.asarray(blur(img))
+    assert out[4, 4] < 0  # interior: sum of negative taps
+
+
+def test_tiny_image_smaller_than_kernel():
+    """Images smaller than the kernel half-width must not crash the band
+    construction (review finding) and must match the conv."""
+    from jax import lax
+
+    k = gaussian_kernel()  # 9x9, half-width 4
+    blur = make_blur(k)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((3, 3)))
+    x4 = img[None, None]
+    w = jnp.asarray(k)[None, None].astype(img.dtype)
+    ref = lax.conv_general_dilated(
+        x4, w, (1, 1), "SAME", precision=lax.Precision.HIGHEST
+    )[0, 0]
+    np.testing.assert_allclose(np.asarray(blur(img)), np.asarray(ref), atol=1e-6)

@@ -146,3 +146,25 @@ def test_tv_deblur_objective_monotone_ista():
     res = prob.solve(max_iter=60, nesterov=False, return_all=True, tol=0.0)
     funs = np.asarray(res.allfuns)
     assert np.all(np.diff(funs) <= 1e-10), funs[np.argmax(np.diff(funs))]
+
+
+def test_tv_deblur_params_path_reuses_compiled_program():
+    """Two TVDeblur instances with the same shapes/config must share one
+    compiled solver program (module-level callables + params), and a
+    second observation must give the same answer as a fresh bound-method
+    solve would (review finding: closure constants defeated the cache)."""
+    from zfista_tpu.core import solver as S
+
+    truth, observed, kernel = _blurred_scene(size=32, seed=1)
+    p1 = TVDeblur(observed, tv_ratio=1e-3, kernel=kernel, prox_iter=10)
+    n_before = len(S._DRIVER_CACHE)
+    r1 = p1.solve(max_iter=30, tol=0.0)
+    n_mid = len(S._DRIVER_CACHE)
+    _, observed2, _ = _blurred_scene(size=32, seed=2)
+    p2 = TVDeblur(observed2, tv_ratio=1e-3, kernel=kernel, prox_iter=10)
+    r2 = p2.solve(max_iter=30, tol=0.0)
+    n_after = len(S._DRIVER_CACHE)
+    assert n_mid > n_before  # first solve compiled something
+    assert n_after == n_mid  # second instance reused it
+    assert r1.nit == r2.nit == 30
+    assert not np.allclose(r1.x, r2.x)  # genuinely different observations

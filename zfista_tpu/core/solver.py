@@ -609,6 +609,11 @@ def minimize_proximal_gradient(
             "proof; prefer the default condition.",
             stacklevel=2,
         )
+    check_every = int(check_every)
+    if check_every < 1:
+        # A 0-step chunk would compile to an identity body inside
+        # lax.while_loop — an un-interruptible device-side hang.
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     start = _time.perf_counter()
 
     x0_host = None if isinstance(x0, jax.Array) else np.asarray(x0)

@@ -106,13 +106,35 @@ def gaussian_kernel(size: int = 9, sigma: float = 4.0) -> np.ndarray:
 def _band_matrix(taps: np.ndarray, n: int) -> np.ndarray:
     """SAME-zero-padded 1-D convolution as a banded ``(n, n)`` matrix:
     ``(Bx)_i = sum_d taps[d+c] x_{i+d}`` with out-of-range terms dropped
-    (== the conv's zero padding)."""
+    (== the conv's zero padding).  Only odd-length ``taps`` (the separable
+    dispatch guarantees this); diagonals beyond the matrix (images smaller
+    than the kernel half-width) are simply absent, matching the conv."""
     c = (len(taps) - 1) // 2
     B = np.zeros((n, n))
     for d in range(-c, c + 1):
-        diag = np.full(n - abs(d), taps[d + c])
-        B += np.diag(diag, k=d)
+        if abs(d) < n:
+            B += np.diag(np.full(n - abs(d), taps[d + c]), k=d)
     return B
+
+
+def _separable_taps(k_np: np.ndarray) -> np.ndarray | None:
+    """1-D taps such that ``K == taps tapsᵀ``, or None.
+
+    The reconstruction check is the ground truth — it rejects even-length
+    kernels (whose SAME offsets the odd-centered band matrix cannot
+    express), negative-definite rank-1 kernels ``K = -a aᵀ`` (whose sign
+    would silently cancel in ``G X Gᵀ``), and anything numerically
+    non-separable; all of those use the conv path instead.
+    """
+    if k_np.ndim != 2 or k_np.shape[0] != k_np.shape[1]:
+        return None
+    if k_np.shape[0] % 2 == 0:
+        return None
+    u_, s_, _ = np.linalg.svd(k_np)
+    taps = u_[:, 0] * np.sqrt(s_[0])
+    if not np.allclose(k_np, np.outer(taps, taps), atol=1e-12):
+        return None
+    return taps
 
 
 def make_blur(kernel: np.ndarray):
@@ -128,17 +150,8 @@ def make_blur(kernel: np.ndarray):
     symmetric matrix), which ``jac_f`` in the deblurring models relies on.
     """
     k_np = np.asarray(kernel, np.float64)
-    # Rank-1 symmetric test: K = sigma * u uᵀ with u the top singular vector.
-    u_, s_, vt_ = np.linalg.svd(k_np)
-    separable = (
-        k_np.shape[0] == k_np.shape[1]
-        and np.allclose(k_np, k_np.T, atol=1e-12)
-        and (s_[1] if len(s_) > 1 else 0.0) <= 1e-10 * s_[0]
-    )
-    if separable:
-        taps = u_[:, 0] * np.sqrt(s_[0])
-        if taps.sum() < 0:  # SVD sign is arbitrary; blur taps are >= 0
-            taps = -taps
+    taps = _separable_taps(k_np)
+    if taps is not None:
         bands: dict = {}
 
         def band(n: int, dtype) -> Array:
@@ -320,15 +333,101 @@ class TVDeblur:
 
     def solve(self, **kwargs):
         """Fixed-step accelerated solve at ``lr = 1/L`` (same driver
-        settings as the wavelet workload: decay_rate=1, nesterov=True)."""
+        settings as the wavelet workload: decay_rate=1, nesterov=True).
+
+        Runs through module-level params-style callables (stable
+        identities for the solver's compiled-driver cache): the observed
+        image and the blur operand stream into the compiled program as
+        arguments, so solving a NEW observation of the same shape reuses
+        the compiled program instead of recompiling with the operands
+        baked in as constants.
+        """
         if "lr" not in kwargs:
             kwargs["lr"] = 1.0 / self.lipschitz()
         kwargs.setdefault("decay_rate", 1)
         kwargs.setdefault("nesterov", True)
         x0 = kwargs.pop("x0", self.x0())
-        return minimize_proximal_gradient(
-            self.f, self.g, self.jac_f, self.prox_wsum_g, x0, **kwargs
+        p = getattr(self, "_params", None)
+        if p is None:
+            dt = self.b.dtype
+            lam = jnp.asarray(self.tv_ratio, dt)
+            taps = _separable_taps(np.asarray(self.kernel, np.float64))
+            if taps is not None:
+                Gr = jnp.asarray(_band_matrix(taps, self.b.shape[0]), dt)
+                Gc = jnp.asarray(_band_matrix(taps, self.b.shape[1]), dt)
+                p = (self.b, Gr, Gc, lam)
+            else:
+                p = (self.b, jnp.asarray(self.kernel, dt), lam)
+            self._params = p
+        fns = _tv_deblur_callables(
+            self.prox_iter, self.isotropic, separable=len(p) == 4
         )
+        return minimize_proximal_gradient(*fns, x0, params=p, **kwargs)
+
+
+#: Params-style callables for TVDeblur.solve, cached per static config so
+#: repeat solves (and different instances with the same config) hit ONE
+#: compiled program.  Params layout: (b, Gr, Gc, lam) separable, else
+#: (b, K, lam).  Both blur forms are self-adjoint (symmetric band
+#: matrices / symmetric kernel), which the Jacobian relies on.
+_TV_CALLABLES: dict = {}
+
+
+def _tv_deblur_callables(prox_iter: int, isotropic: bool, separable: bool):
+    key = (int(prox_iter), bool(isotropic), bool(separable))
+    fns = _TV_CALLABLES.get(key)
+    if fns is not None:
+        return fns
+    pr = lax.Precision.HIGHEST
+
+    if separable:
+
+        def blur_p(X: Array, p) -> Array:
+            _, Gr, Gc, _ = p
+            Grc = Gr.astype(X.dtype)
+            Gcc = Gc.astype(X.dtype)
+            return jnp.matmul(
+                jnp.matmul(Grc, X, precision=pr), Gcc.T, precision=pr
+            )
+
+    else:
+
+        def blur_p(X: Array, p) -> Array:
+            K = p[1]
+            x4 = X[None, None, :, :]
+            w = K[None, None, :, :].astype(X.dtype)
+            return lax.conv_general_dilated(
+                x4, w, (1, 1), "SAME", precision=pr
+            )[0, 0]
+
+    def f_p(x, p):
+        b = p[0]
+        r = blur_p(jnp.reshape(x, b.shape), p) - b
+        return jnp.reshape(jnp.sum(r * r), (1,))
+
+    def jac_p(x, p):
+        b = p[0]
+        r = blur_p(jnp.reshape(x, b.shape), p) - b
+        return 2 * jnp.reshape(blur_p(r, p), (1, -1))
+
+    def g_p(x, p):
+        b, lam = p[0], p[-1]
+        val = tv2d(jnp.reshape(x, b.shape), isotropic)
+        return jnp.reshape(lam * val, (1,))
+
+    def prox_p(w, x, p):
+        b, lam = p[0], p[-1]
+        w = w[0] if getattr(w, "ndim", 0) else w
+        u = prox_tv(
+            w * lam,
+            jnp.reshape(x, b.shape),
+            n_iter=prox_iter,
+            isotropic=isotropic,
+        )
+        return jnp.reshape(u, (-1,))
+
+    fns = _TV_CALLABLES[key] = (f_p, g_p, jac_p, prox_p)
+    return fns
 
 
 @partial(jax.jit, static_argnames=("size",))

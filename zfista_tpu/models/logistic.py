@@ -32,7 +32,12 @@ _DOT = lambda a, b: jnp.dot(a, b, precision=lax.Precision.HIGHEST)
 
 
 class SparseLogistic:
-    """L1-regularized binary logistic regression (labels ``y in {-1, +1}``)."""
+    """L1-regularized binary logistic regression (labels ``y in {-1, +1}``).
+
+    Instances are effectively FROZEN after construction: the solver
+    operands (``A``, ``y``, ``l1_ratio``) are packed into a params tuple
+    here, once — mutating the public attributes afterwards will not
+    affect ``solve`` (construct a new instance instead)."""
 
     def __init__(self, A, y, l1_ratio: float = 0.01) -> None:
         self.A = jnp.asarray(A)
@@ -43,6 +48,11 @@ class SparseLogistic:
         self.l1_ratio = float(l1_ratio)
         self.n_samples, self.n_features = self.A.shape
         self.n_objectives = 1
+        self._params = (
+            self.A,
+            self.y,
+            jnp.asarray(self.l1_ratio, self.A.dtype),
+        )
 
     def f(self, x: Array) -> Array:
         margins = self.y * _DOT(self.A, x)
@@ -72,17 +82,9 @@ class SparseLogistic:
         if x0 is None:
             x0 = jnp.zeros(self.n_features, self.A.dtype)
         kwargs.setdefault("nesterov", True)
-        p = getattr(self, "_params_cache", None)
-        if p is None:
-            dt = self.A.dtype
-            p = self._params_cache = (
-                self.A,
-                self.y,
-                jnp.asarray(self.l1_ratio, dt),
-            )
         return minimize_proximal_gradient(
             _logistic_f_p, _logistic_g_p, _logistic_jac_p, _logistic_prox_p,
-            x0, params=p, **kwargs
+            x0, params=self._params, **kwargs
         )
 
     def kkt_residual(self, x) -> float:

@@ -307,6 +307,10 @@ def minimize_proximal_gradient_batch(
     def any_active(states: State):
         return jnp.any(_active(states, max_iter))
 
+    check_every = int(check_every)
+    if check_every < 1:
+        # A 0-step chunk is an identity while_loop body: device-side hang.
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     if history:
         if check_every != 1:
             warnings.warn(
