@@ -36,11 +36,19 @@ def show_pareto_front(
     fig = plt.figure(figsize=(5, 4))
     ax = fig.add_subplot(111, projection="3d" if m == 3 else None)
     first = next(iter(results.values()))
-    # initial front: F(x0), recomputed (batched histories record post-step
-    # values, so allfuns[0] would be off by one iteration)
+    # initial front: F(x0).  Use allfuns[0] (= F(x0) on both the single
+    # and batched history paths) when available; recompute only for
+    # results without history.
     import jax.numpy as jnp
 
-    F0 = np.vstack([np.asarray(problem.f(jnp.asarray(r.x0))) for r in first])
+    F0 = np.vstack(
+        [
+            np.asarray(r.allfuns[0])
+            if getattr(r, "allfuns", None)
+            else np.asarray(problem.f(jnp.asarray(r.x0)))
+            for r in first
+        ]
+    )
     ax.scatter(*F0.T[:m], s=8, marker="x", c="gray", label="initial", alpha=0.5)
     for name, res_list in results.items():
         # k-th-iterate layer: allfuns[k] is the value after k iterations

@@ -467,11 +467,23 @@ def make_scan_driver(step: Callable[[State], State], max_iter: int, chunk: int):
 _DRIVER_CACHE: dict = {}
 
 
-def _cached_driver(key, build):
-    run = _DRIVER_CACHE.get(key)
+def _cached_driver(key: Any, build: Callable[[], Callable[..., Any]]) -> Callable[..., Any]:
+    try:
+        run = _DRIVER_CACHE.get(key)
+    except TypeError:
+        # Unhashable key leaf (e.g. a traced/jnp scalar passed as an
+        # option such as nesterov_ratio).  Such values are baked into the
+        # step at trace time, so caching under a value-blind key would
+        # serve wrong programs — build uncached instead.
+        return build()
     if run is None:
-        if len(_DRIVER_CACHE) > 128:
-            _DRIVER_CACHE.clear()
+        while len(_DRIVER_CACHE) > 128:
+            # FIFO eviction (dicts preserve insertion order): a wholesale
+            # clear() would drop the hot entries along with the cold, and
+            # unbounded retention would pin closure-embedded operand
+            # constants (device buffers) for distinct legacy-closure
+            # callables.
+            _DRIVER_CACHE.pop(next(iter(_DRIVER_CACHE)))
         run = _DRIVER_CACHE[key] = build()
     return run
 
@@ -482,7 +494,7 @@ def _cached_driver(key, build):
 _SCALAR_CACHE: dict = {}
 
 
-def _device_scalar(v, dtype):
+def _device_scalar(v: Any, dtype: Any) -> Array:
     if isinstance(v, jax.Array):
         return v.astype(dtype) if v.dtype != dtype else v
     key = (float(v), str(dtype))
@@ -494,7 +506,7 @@ def _device_scalar(v, dtype):
     return arr
 
 
-def _params_key(params):
+def _params_key(params: Any) -> Any:
     if params is None:
         return None
     leaves, treedef = jax.tree.flatten(params)
@@ -507,7 +519,13 @@ def _params_key(params):
     )
 
 
-def _bind_params(f, g, jac_f, prox_wsum_g, p):
+def _bind_params(
+    f: Callable[..., Any],
+    g: Callable[..., Any],
+    jac_f: Callable[..., Array] | None,
+    prox_wsum_g: Callable[..., Array],
+    p: Any,
+) -> tuple[Any, Any, Any, Any]:
     """Bind a ``params`` pytree as the trailing argument of the problem
     callables (the single-solve analog of the batch driver's
     ``batch_params`` convention)."""
@@ -518,7 +536,13 @@ def _bind_params(f, g, jac_f, prox_wsum_g, p):
     return fb, gb, jacb, proxb
 
 
-def _normalize_problem(f, g, jac_f, prox_wsum_g, x0):
+def _normalize_problem(
+    f: Callable[..., Any],
+    g: Callable[..., Any],
+    jac_f: Callable[..., Array] | None,
+    prox_wsum_g: Callable[..., Array],
+    x0: Array,
+) -> tuple[Any, Any, Any, Any, int, bool]:
     """Normalize user callables to vector form: f,g -> (m,), jac -> (m,n),
     prox(w_vec, x). Returns (f, g, jac, prox, m, scalar_mode)."""
     out = jax.eval_shape(f, x0)
@@ -747,9 +771,16 @@ def minimize_proximal_gradient(
                 ("init",) + cache_key_base, lambda: jax.jit(traced_init)
             )
             state = init_run(x0, _device_scalar(lr, x0.dtype), params)
-        xs_hist = [
-            (x0_host.astype(np.dtype(x0.dtype), copy=False) if x0_host is not None else np.asarray(x0))[None]
-        ]
+        if initial_state is not None:
+            # Resumed run: the history head must be the RESUME iterate so
+            # allvecs[k] and allfuns[k] stay paired (state.F_x is F at
+            # state.x, not at the original x0).
+            head_x = np.asarray(state.x)
+        elif x0_host is not None:
+            head_x = np.array(x0_host, dtype=np.dtype(x0.dtype))
+        else:
+            head_x = np.asarray(x0)
+        xs_hist = [head_x[None]]
         fs_hist = [np.asarray(state.F_x)[None]]
         errs_hist = []
         while True:
@@ -817,7 +848,9 @@ def minimize_proximal_gradient(
     # data, reuse their copy instead of fetching the uploaded x0 back.
     if x0_host is not None:
         host = jax.device_get(state)
-        x0_res = x0_host.astype(np.dtype(x0.dtype), copy=False)
+        # Fresh copy: aliasing the caller's buffer would let a later
+        # in-place mutation of their x0 silently rewrite res.x0.
+        x0_res = np.array(x0_host, dtype=np.dtype(x0.dtype))
     else:
         host, x0_res = jax.device_get((state, x0))
     elapsed = _time.perf_counter() - start

@@ -246,9 +246,9 @@ def minimize_proximal_gradient_batch(
 
     has_ab = batch_nesterov_ratio is not None
     # When no per-lane momentum is used the placeholder stays a host numpy
-    # array: it binds into the jitted program as a (replicated) constant,
-    # which also keeps the non-ab path valid under multi-process meshes
-    # (a device-committed placeholder would conflict with global inputs).
+    # array: passed through ``step_args`` it is uploaded uncommitted, which
+    # keeps the non-ab path valid under multi-process meshes (a
+    # device-committed placeholder would conflict with global inputs).
     ab_arr = (
         jnp.asarray(batch_nesterov_ratio, x0s.dtype)
         if has_ab
@@ -400,8 +400,7 @@ def minimize_proximal_gradient_batch(
                 keep_state,
             )
 
-        @jax.jit
-        def run(states, *sa):
+        def drive(states, *sa):
             body = lambda s: run_step(s, *sa)
             if check_every == 1:
                 return lax.while_loop(any_active, body, states)
@@ -421,13 +420,32 @@ def minimize_proximal_gradient_batch(
                 states,
             )
 
-        states = (
-            initial_states
-            if initial_states is not None
-            else vinit_j(*init_args)
-        )
-        states = jax.block_until_ready(run(states, *step_args))
-        states = finalize_F(states)
+        def traced_finalize(states, *sa):
+            if not skip_F:
+                return states
+            fresh = (
+                vinit(states.x, sa[0]) if has_params else vinit(states.x)
+            )
+            return states._replace(F_x=fresh.F_x)
+
+        # Init + while-loop + final-F as ONE jitted program (fresh solves)
+        # — a single device dispatch per batch solve; round trips are
+        # ~tens of ms each on remote backends (see core.solver).
+        @jax.jit
+        def run_full(x0s_in, *sa):
+            states = vinit(x0s_in, sa[0]) if has_params else vinit(x0s_in)
+            return traced_finalize(drive(states, *sa), *sa)
+
+        @jax.jit
+        def run_resume(states, *sa):
+            return traced_finalize(drive(states, *sa), *sa)
+
+        if initial_states is not None:
+            states = jax.block_until_ready(
+                run_resume(initial_states, *step_args)
+            )
+        else:
+            states = jax.block_until_ready(run_full(x0s, *step_args))
         allfuns = allerrs = hist_mask = allvecs = None
         F0_all = None
 
