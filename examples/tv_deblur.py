@@ -91,6 +91,18 @@ def main() -> None:
         f"F={float(np.ravel(res_tv.fun)[0]):.6g}"
     )
 
+    # Warm-dual fast path: FGP duals carried across outer iterations,
+    # prox_iter=8 instead of 30 (same quality; see BENCHMARKS.md).
+    tv.solve_warm(max_iter=args.max_iter, tol=args.tol)  # compile
+    t0 = time.perf_counter()
+    warm = tv.solve_warm(max_iter=args.max_iter, tol=args.tol)
+    t_warm = time.perf_counter() - t0
+    rec_warm = warm["x"].reshape(observed.shape)
+    print(
+        f"TV (warm): {warm['nit']:4d} it, {t_warm:6.2f} s warm run, "
+        f"PSNR {psnr(rec_warm, truth):.2f} dB, F={warm['fun']:.6g}"
+    )
+
     wl = WaveletDeblur(jnp.asarray(observed), l1_ratio=args.l1_ratio)
     res_wl, cold_wl, warm_wl = timed_solve(wl, max_iter=args.max_iter, tol=args.tol)
     from zfista_tpu.models.deblur import idwt2

@@ -168,3 +168,44 @@ def test_tv_deblur_params_path_reuses_compiled_program():
     assert n_after == n_mid  # second instance reused it
     assert r1.nit == r2.nit == 30
     assert not np.allclose(r1.x, r2.x)  # genuinely different observations
+
+
+def test_solve_warm_matches_cold_quality():
+    """The warm-dual fast path at prox_iter=8 must reach the cold path's
+    (prox_iter=30) restoration quality: objective within 0.5% and MSE to
+    the ground truth within 10%."""
+    truth, observed, kernel = _blurred_scene(size=32)
+    prob = TVDeblur(observed, tv_ratio=1e-3, kernel=kernel, prox_iter=30)
+    cold = prob.solve(max_iter=200, tol=1e-6)
+    warm = prob.solve_warm(max_iter=200, tol=1e-6, prox_iter=8)
+    F_cold = float(np.ravel(cold.fun)[0])
+    assert abs(warm["fun"] - F_cold) <= 5e-3 * abs(F_cold), (warm["fun"], F_cold)
+    mse_c = float(np.mean((np.asarray(cold.x).reshape(truth.shape) - truth) ** 2))
+    mse_w = float(np.mean((warm["x"].reshape(truth.shape) - truth) ** 2))
+    assert mse_w <= 1.1 * mse_c, (mse_w, mse_c)
+
+
+def test_solve_warm_requires_separable_kernel():
+    rng = np.random.default_rng(0)
+    k = rng.random((5, 5))
+    k /= k.sum()
+    _, observed, _ = _blurred_scene(size=16)
+    prob = TVDeblur(observed, tv_ratio=1e-3, kernel=k)
+    with pytest.raises(ValueError):
+        prob.solve_warm()
+
+
+def test_prox_tv_dual0_warm_start_converges_faster():
+    """A warm dual from a nearby input must give a smaller duality gap
+    than a cold start at the same (small) budget."""
+    rng = np.random.default_rng(6)
+    img = np.zeros((24, 24))
+    img[6:18, 6:18] = 1.0
+    v1 = jnp.asarray(img + 0.05 * rng.standard_normal((24, 24)))
+    v2 = v1 + 0.01 * jnp.asarray(rng.standard_normal((24, 24)))
+    _, dual = prox_tv(0.15, v1, n_iter=200, return_dual=True)
+    u_cold, d_cold = prox_tv(0.15, v2, n_iter=5, return_dual=True)
+    u_warm, d_warm = prox_tv(0.15, v2, n_iter=5, return_dual=True, dual0=dual)
+    g_cold = float(tv_dual_gap(0.15, v2, u_cold, d_cold))
+    g_warm = float(tv_dual_gap(0.15, v2, u_warm, d_warm))
+    assert g_warm < 0.5 * g_cold, (g_warm, g_cold)

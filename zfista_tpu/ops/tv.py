@@ -69,6 +69,7 @@ def prox_tv(
     n_iter: int = 50,
     isotropic: bool = True,
     return_dual: bool = False,
+    dual0: tuple[Array, Array] | None = None,
 ) -> Array | tuple[Array, tuple[Array, Array]]:
     r"""Prox of ``lam * TV``: ``argmin_u 0.5 ||u - v||^2 + lam TV(u)``.
 
@@ -82,6 +83,12 @@ def prox_tv(
     The constraint set is the pointwise unit ball — L2 across the two
     components when ``isotropic`` (prox of the group-L2 TV), else the
     unit box (prox of the L1 TV).
+
+    ``dual0`` warm-starts the dual field (e.g. the previous outer
+    iteration's dual in a deblurring loop, where consecutive proxes see
+    nearly identical inputs): FGP restarts its momentum but resumes from
+    the given feasible point, typically reaching a given gap in a small
+    fraction of the cold-start budget.
     """
     lam = jnp.asarray(lam, v.dtype)
     safe = jnp.maximum(lam, jnp.asarray(jnp.finfo(v.dtype).tiny, v.dtype))
@@ -105,9 +112,12 @@ def prox_tv(
         s_new = q_new + gamma * (q_new - q)
         return p_new, q_new, r_new, s_new, t_new
 
-    z = jnp.zeros_like(v)
+    if dual0 is None:
+        p0 = q0 = jnp.zeros_like(v)
+    else:
+        p0, q0 = dual0
     one = jnp.asarray(1.0, v.dtype)
-    p, q, _, _, _ = lax.fori_loop(0, n_iter, body, (z, z, z, z, one))
+    p, q, _, _, _ = lax.fori_loop(0, n_iter, body, (p0, q0, p0, q0, one))
     u = jnp.where(lam > 0, v - lam * _div2d(p, q), v)
     if return_dual:
         # The feasible dual iterate — the optimality certificate for
