@@ -133,3 +133,17 @@ def test_load_state_refuses_silent_downcast(tmp_path):
         with pytest.raises(ValueError, match="refusing a silent precision"):
             load_state(ckpt)
     load_state(ckpt)  # x64 back on: loads fine
+
+
+def test_annotate_decorator_and_ctx():
+    """annotate() must work both as a decorator and a context manager
+    (review finding: TraceAnnotation alone is not callable)."""
+    from zfista_tpu.utils.profiling import annotate
+
+    @annotate("step")
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2
+    with annotate("scope"):
+        pass

@@ -3,6 +3,8 @@ profiles, cache behavior, and one end-to-end mini cell with artifacts."""
 
 import json
 
+import pytest
+
 import numpy as np
 
 from zfista_tpu.bench.harness import (
@@ -111,3 +113,29 @@ def test_pareto_plot_layers(tmp_path):
         results, prob, save_to=tmp_path / "pf.pdf", iteration=3
     )
     assert (tmp_path / "pf.pdf").stat().st_size > 0
+
+
+def test_cache_invalidated_on_config_change(tmp_path):
+    """Changing solver settings must re-run a cached cell, not serve the
+    stale pickle (review finding; the reference has this footgun)."""
+    from zfista_tpu.bench.harness import load_or_run_results
+    from zfista_tpu.models.zoo import JOS1
+
+    prob = JOS1(n_features=5)
+    r1 = load_or_run_results(
+        prob, -2.0, 4.0, tmp_path, n_samples=3, max_iter=50, history=False
+    )
+    with pytest.warns(UserWarning, match="different settings"):
+        r2 = load_or_run_results(
+            prob, -2.0, 4.0, tmp_path, n_samples=3, max_iter=200, history=False
+        )
+    assert max(r.nit for r in r1["Accelerated"]) <= 50
+    assert max(r.nit for r in r2["Accelerated"]) <= 200
+    # same settings again: served from cache silently
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        load_or_run_results(
+            prob, -2.0, 4.0, tmp_path, n_samples=3, max_iter=200, history=False
+        )

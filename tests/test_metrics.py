@@ -116,3 +116,19 @@ def test_calculate_metrics_two_algorithms(res3):
     # bad's only successful run took 4s; good's average is 2s -> ratio 2.
     assert ratios["Avg computation time"]["bad"] == pytest.approx(2.0)
     assert ratios["Hypervolume"]["good"] == pytest.approx(1.0)
+
+
+def test_ratio_ignores_nan_entries():
+    """A NaN metric value (variant with zero successful runs) must not
+    poison the other variants' ratios, regardless of dict order (review
+    finding: Python min/max over NaN is order-dependent)."""
+    from zfista_tpu.metrics import _ratio
+
+    for d in (
+        {"Normal": np.nan, "Accelerated": 2.0, "Dep": 4.0},
+        {"Accelerated": 2.0, "Dep": 4.0, "Normal": np.nan},
+    ):
+        r = _ratio(d, maximize=False)
+        assert np.isnan(r["Normal"])
+        assert r["Accelerated"] == 1.0 and r["Dep"] == 2.0
+    assert all(np.isnan(v) for v in _ratio({"a": np.nan}, maximize=True).values())

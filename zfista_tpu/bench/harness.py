@@ -26,6 +26,7 @@ import argparse
 import json
 import logging
 import pickle
+import warnings
 import time
 from pathlib import Path
 from typing import Sequence
@@ -100,15 +101,33 @@ def load_or_run_results(
     **kwargs,
 ) -> dict[str, list[SolveResult]]:
     """Pickle cache with the reference's resume granularity
-    (whole problem cell; reference benchmark.py:279-300)."""
+    (whole problem cell; reference benchmark.py:279-300).
+
+    The run configuration (sampling box + solver kwargs) is stored
+    alongside the results; a cached cell recorded under DIFFERENT
+    settings (e.g. a changed ``--max-iter``/``--n-samples``) is re-run
+    with a warning instead of silently served stale — the reference
+    keys on problem name only and has exactly that footgun.
+    """
     cache_dir.mkdir(parents=True, exist_ok=True)
     path = cache_dir / f"{problem.name}.pkl"
+    config = {"low": low, "high": high, **kwargs}
     if path.exists() and not overwrite:
         with open(path, "rb") as fh:
-            return pickle.load(fh)
+            payload = pickle.load(fh)
+        if isinstance(payload, dict) and "results" in payload:
+            if payload.get("config") == config:
+                return payload["results"]
+            warnings.warn(
+                f"cache for {problem.name} was recorded under different "
+                "settings; re-running (pass --overwrite to silence)",
+                stacklevel=2,
+            )
+        else:  # pre-config cache format: can't validate, honor it
+            return payload
     results = benchmark(problem, low, high, **kwargs)
     with open(path, "wb") as fh:
-        pickle.dump(results, fh)
+        pickle.dump({"config": config, "results": results}, fh)
     return results
 
 

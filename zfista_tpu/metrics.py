@@ -200,15 +200,31 @@ def spread_metrics(
 
 
 def _ratio(values: dict[str, float], maximize: bool) -> dict[str, float]:
+    # The best is taken over FINITE-OR-DEFINED entries only: a NaN value
+    # (e.g. Avg time of a variant with zero successful runs) would
+    # otherwise poison min()/max() order-dependently (NaN comparisons are
+    # False, so whichever insertion order puts the NaN first wins) and
+    # turn EVERY variant's ratio NaN.  NaN entries keep a NaN ratio.
+    valid = [v for v in values.values() if not np.isnan(v)]
+    if not valid:
+        return {k: np.nan for k in values}
     if maximize:
-        best = max(values.values())
+        best = max(valid)
         return {
-            k: (best / v if v != 0 else (np.inf if best != 0 else 1))
+            k: (
+                np.nan
+                if np.isnan(v)
+                else (best / v if v != 0 else (np.inf if best != 0 else 1))
+            )
             for k, v in values.items()
         }
-    best = min(values.values())
+    best = min(valid)
     return {
-        k: (v / best if best != 0 else (np.inf if v != 0 else 1))
+        k: (
+            np.nan
+            if np.isnan(v)
+            else (v / best if best != 0 else (np.inf if v != 0 else 1))
+        )
         for k, v in values.items()
     }
 

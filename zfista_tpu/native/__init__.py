@@ -31,7 +31,12 @@ def _compile() -> Path | None:
     out = _BUILD / f"zt_metrics_{tag}{ext}"
     if out.exists():
         return out
-    _BUILD.mkdir(exist_ok=True)
+    try:
+        _BUILD.mkdir(exist_ok=True)
+    except OSError:
+        # Read-only install (e.g. site-packages in a locked container):
+        # the numpy fallback is the contract, not a crash.
+        return None
     # Compile to a process-unique temp name and rename into place: the
     # rename is atomic, so concurrent processes on a cold cache can never
     # dlopen a half-written object.

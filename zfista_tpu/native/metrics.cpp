@@ -37,8 +37,12 @@ void nd_mask_2d(const double* F, int64_t n, uint8_t* out) {
     if (F[2 * a] != F[2 * b]) return F[2 * a] < F[2 * b];
     return F[2 * a + 1] < F[2 * b + 1];
   });
-  double best_f2 = HUGE_VAL;   // strictly-better threshold
-  double prev_f1 = -HUGE_VAL;  // f1 of the group that set best_f2
+  double best_f2 = HUGE_VAL;  // min f2 among strictly-smaller-f1 groups
+  bool has_prev = false;      // any previous group at all?  (Without this
+                              // a first-group point with f2 == +inf would
+                              // compare inf >= HUGE_VAL and be dropped
+                              // even though nothing dominates it; +inf
+                              // objectives are reachable via indicator g.)
   // Points with equal (f1, f2) tie (kept); a point is dominated iff a
   // point with f1 <= its f1 has f2 < its f2, or f1 < its f1 and f2 <= its
   // f2.  Process groups of equal f1 together.
@@ -51,7 +55,7 @@ void nd_mask_2d(const double* F, int64_t n, uint8_t* out) {
       const double f2 = F[2 * idx[j] + 1];
       // dominated if a previous group (f1' < f1) had f2' <= f2, or this
       // group has a member with smaller f2 (strict, since f1 ties).
-      bool dom = (f2 >= best_f2);
+      bool dom = has_prev && (f2 >= best_f2);
       if (!dom && j > i) {
         // within-group: sorted by f2 asc, so any earlier member has
         // f2 <= ours; strict domination needs f2 < ours.
@@ -62,9 +66,8 @@ void nd_mask_2d(const double* F, int64_t n, uint8_t* out) {
     }
     // update best_f2 with this group's minimum (its first member).
     const double group_min = F[2 * idx[i] + 1];
-    if (group_min < best_f2) best_f2 = group_min;
-    prev_f1 = f1;
-    (void)prev_f1;
+    if (!has_prev || group_min < best_f2) best_f2 = group_min;
+    has_prev = true;
     i = j;
   }
 }

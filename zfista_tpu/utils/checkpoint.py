@@ -30,10 +30,16 @@ def _normalize(path) -> Path:
 
 
 def save_state(state: State, path) -> None:
-    """Serialize a solver :class:`State` (single or batched) to ``.npz``."""
+    """Serialize a solver :class:`State` (single or batched) to ``.npz``.
+
+    Globally-sharded states (multi-process runs, where each process owns
+    only local shards) are gathered first — ``np.asarray`` alone raises
+    on non-fully-addressable arrays."""
+    from zfista_tpu.parallel.batch import _host_array
+
     path = _normalize(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **{k: np.asarray(v) for k, v in state._asdict().items()})
+    np.savez(path, **{k: _host_array(v) for k, v in state._asdict().items()})
 
 
 def load_state(path) -> State:

@@ -26,8 +26,34 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def annotate(name: str):
-    """Named-scope annotation for profiler timelines (decorator or ctx)."""
-    import jax
+class _Annotation:
+    """Named profiler scope usable as a context manager OR a decorator
+    (``jax.profiler.TraceAnnotation`` alone is not callable, so the
+    decorator form in this function's contract needs the wrapper)."""
 
-    return jax.profiler.TraceAnnotation(name)
+    def __init__(self, name: str) -> None:
+        self._name = name
+
+    def __enter__(self):
+        import jax
+
+        self._ctx = jax.profiler.TraceAnnotation(self._name)
+        return self._ctx.__enter__()
+
+    def __exit__(self, *exc):
+        return self._ctx.__exit__(*exc)
+
+    def __call__(self, fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            with _Annotation(self._name):
+                return fn(*args, **kwargs)
+
+        return wrapped
+
+
+def annotate(name: str) -> _Annotation:
+    """Named-scope annotation for profiler timelines (decorator or ctx)."""
+    return _Annotation(name)
