@@ -154,3 +154,28 @@ def test_sd_solve_feasible():
 def test_problem_names():
     assert JOS1().name == "JOS1_n_5"
     assert "l1_ratios_0.2_0.1" in JOS1(l1_ratios=[0.2, 0.1]).name
+
+
+def test_first_shift_quirk_matches_reference():
+    """The reference's prox ignores l1_shifts[0] (a self-cancelling
+    '- s0 + s0' in zfista/problems.py:128-130, presumably a latent bug);
+    we replicate it bit-for-bit for trajectory parity. This test pins the
+    agreement with the reference's literal formula so any future 'fix'
+    here is a conscious divergence."""
+    from zfista_tpu.ops.prox import make_wsum_shifted_l1_box_prox, soft_threshold
+
+    ratios = jnp.asarray([0.5])
+    shifts = jnp.asarray([2.0])  # nonzero FIRST shift: the quirk case
+    prox = make_wsum_shifted_l1_box_prox(ratios, shifts, None, None)
+    x = jnp.asarray([0.3, -1.4, 2.2])
+    w = jnp.asarray([0.4])
+    got = prox(w, x)
+    # reference formula: prox_lasso(x + sum(coef[1:]) - s0 + s0, coef[0])
+    coef = w * ratios
+    ref = soft_threshold(x + 0.0 - shifts[0] + shifts[0], coef[0])
+    # 1-ulp tolerance: the implementation skips the literal '- s0 + s0'
+    # round trip (which perturbs rounding); semantics are identical.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-15)
+    # NOT the shifted prox (that is the documented inconsistency):
+    shifted = soft_threshold(x - shifts[0], coef[0]) + shifts[0]
+    assert not np.allclose(np.asarray(got), np.asarray(shifted))

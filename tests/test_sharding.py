@@ -81,3 +81,18 @@ def test_mesh_axes():
     assert mesh.shape == {"batch": 4, "model": 2}
     mesh = make_mesh(model=2)
     assert mesh.shape == {"batch": 4, "model": 2}
+
+
+def test_make_mesh_rejects_silent_undershoot():
+    """An explicit batch*model below the default device count raises
+    (review finding: a typo would silently idle hardware); passing the
+    subset explicitly is the sanctioned spelling."""
+    import jax
+    import pytest
+
+    n = len(jax.devices())
+    assert n == 8
+    with pytest.raises(ValueError, match="uses only"):
+        make_mesh(batch=3, model=2)
+    mesh = make_mesh(batch=3, model=2, devices=jax.devices()[:6])
+    assert mesh.devices.size == 6

@@ -96,6 +96,10 @@ def momentum_sweep(
         if pad:
             x0_c = np.concatenate([x0_c, np.repeat(x0_c[:1], pad, axis=0)])
             ab_c = np.concatenate([ab_c, np.repeat(ab_c[:1], pad, axis=0)])
+        # nesterov defaults True (a momentum sweep), but stays overridable:
+        # an explicit nesterov= in solver_kwargs must not collide with a
+        # positional duplicate.
+        solver_kwargs.setdefault("nesterov", True)
         part = minimize_proximal_gradient_batch(
             problem.f,
             problem.g,
@@ -103,7 +107,6 @@ def momentum_sweep(
             problem.prox_wsum_g,
             x0_c,
             batch_nesterov_ratio=ab_c,
-            nesterov=True,
             max_iter=max_iter,
             **solver_kwargs,
         )

@@ -62,6 +62,10 @@ def weak_scaling(
 
     rows: list[dict] = []
     base_per_device = None
+    # Efficiency is relative to the SMALLEST device count (normally 1):
+    # an unsorted --devices list must not silently make e.g. the 8-device
+    # row the 100% baseline.
+    device_counts = sorted(device_counts)
     for d in device_counts:
         mesh = Mesh(np.array(devs[:d]), ("batch",))
         B = lanes_per_device * d
@@ -138,14 +142,24 @@ def main(argv=None) -> None:
         "updates jax.config after import)",
     )
     args = parser.parse_args(argv)
+    counts = [int(c) for c in args.devices.split(",")]
     if args.platform:
         import os
 
         os.environ["JAX_PLATFORMS"] = args.platform
+        if args.platform == "cpu":
+            # Virtual CPU devices are the documented stand-in; without the
+            # flag the host exposes ONE device and every multi-device row
+            # fails.  Must be set before jax initializes its backends.
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    f"{flags} --xla_force_host_platform_device_count="
+                    f"{max(counts)}"
+                ).strip()
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    counts = [int(c) for c in args.devices.split(",")]
     rows = weak_scaling(
         device_counts=counts,
         lanes_per_device=args.lanes_per_device,

@@ -46,9 +46,15 @@ class Problem:
         self.n_objectives = n_objectives
         self._l1_ratios_raw = l1_ratios
         self._l1_shifts_raw = l1_shifts
-        self.l1_ratios = None if l1_ratios is None else jnp.asarray(l1_ratios)
+        # atleast_1d: a scalar argument must hit the intended ValueError
+        # below, not an opaque `len() of unsized object` TypeError.
+        self.l1_ratios = (
+            None if l1_ratios is None else jnp.atleast_1d(jnp.asarray(l1_ratios))
+        )
         self.l1_shifts = (
-            jnp.zeros(n_objectives) if l1_shifts is None else jnp.asarray(l1_shifts)
+            jnp.zeros(n_objectives)
+            if l1_shifts is None
+            else jnp.atleast_1d(jnp.asarray(l1_shifts))
         )
         self.bounds = bounds
         if l1_ratios is not None and len(self.l1_ratios) != n_objectives:

@@ -113,8 +113,13 @@ class Lasso(Problem):
         of being embedded as a constant (3x at n=10k), and repeat solves
         (any ``A`` of the same shape) reuse one compiled driver.
         """
-        if "lr" not in kwargs:  # setdefault would eval the 50-matvec
-            kwargs["lr"] = 1.0 / self.lipschitz()  # power iteration eagerly
+        if "lr" not in kwargs:
+            # Cache 1/L: the 50-matvec power iteration is the dominant
+            # per-call cost for repeat solves on a fixed operator.
+            lr = getattr(self, "_lr_cache", None)
+            if lr is None:
+                lr = self._lr_cache = 1.0 / self.lipschitz()
+            kwargs["lr"] = lr
         kwargs.setdefault("decay_rate", 1)
         kwargs.setdefault("nesterov", True)
         p = getattr(self, "_params_cache", None)

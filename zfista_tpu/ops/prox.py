@@ -81,9 +81,20 @@ def make_wsum_shifted_l1_box_prox(
     (reference: zfista/problems.py:101-117).  Its prox of the *weighted sum*
     is constructed by sequentially composing per-objective shifted-L1 proxes
     and finishing with a box projection (reference: zfista/problems.py:119-138).
-    That sequence is exact for a single L1 term; for several terms it is the
-    reference's defining construction, which we replicate bit-for-bit so that
-    benchmark trajectories agree.
+    That sequence is exact for a single UNSHIFTED L1 term; for several terms
+    it is the reference's defining construction, which we replicate
+    bit-for-bit so that benchmark trajectories agree.
+
+    ⚠ Replicated reference quirk: the FIRST objective's shift is ignored —
+    the reference's own expression is ``prox_lasso(x + sum(coef[1:])
+    - l1_shifts[0] + l1_shifts[0], coef[0])`` (zfista/problems.py:128-130),
+    a self-cancelling no-op where ``prox(x - s0) + s0`` was presumably
+    intended.  With ``l1_shifts[0] != 0`` the prox is therefore
+    inconsistent with ``g_0(x) = r_0*||x - s_0||_1`` in BOTH
+    implementations; every reference benchmark problem uses
+    ``l1_shifts[0] == 0.0``, so the quirk is invisible there.  We keep it
+    for trajectory parity (tests pin the agreement); diverging here would
+    silently change every shifted benchmark cell.
 
     Returned callable signature: ``prox(weight, x) -> x`` where ``weight`` is
     ``lr`` (scalar) for one objective or ``lr * w`` (shape ``(m,)``) otherwise.

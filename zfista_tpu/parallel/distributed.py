@@ -63,8 +63,11 @@ def initialize(
             process_id=process_id,
             local_device_ids=local_device_ids,
         )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+    except RuntimeError as e:  # already initialized -> documented no-op
+        msg = str(e).lower()
+        # jax 0.9 raises "distributed.initialize should only be called
+        # once."; older versions said "already initialized" — accept both.
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 
@@ -107,7 +110,11 @@ def process_count() -> int:
 
 def all_processes_allclose(local_value, **kw) -> bool:
     """True on every process iff every process's ``local_value`` matches
-    process 0's (an allgather + compare; diagnostic for parity tests)."""
+    process 0's (an allgather + compare; diagnostic for parity tests).
+
+    Note ``np.allclose`` semantics: ``atol=0`` alone still leaves the
+    default ``rtol=1e-5`` — pass ``rtol=0`` as well for an exact-match
+    consensus (the parity worker does)."""
     from jax.experimental import multihost_utils
 
     gathered = multihost_utils.process_allgather(np.asarray(local_value))
@@ -183,7 +190,7 @@ def _parity_worker(args: argparse.Namespace) -> None:
     np.testing.assert_array_equal(res_dist.nit, res_local.nit)
     assert bool(np.all(res_dist.success))
     # Cross-process consensus: every process computed identical results.
-    assert all_processes_allclose(res_dist.x, atol=0)
+    assert all_processes_allclose(res_dist.x, atol=0, rtol=0)
     print(f"PARITY_OK process={args.process_id}/{args.num_processes} "
           f"devices={n_dev} batch={B}", flush=True)
 

@@ -51,6 +51,14 @@ def make_mesh(
         batch = n // model
     if batch * model > n:
         raise ValueError(f"mesh {batch}x{model} needs more than {n} devices")
+    if batch * model < n and devices is None:
+        # An explicit under-sized mesh over the DEFAULT device set is
+        # almost always a typo that silently idles hardware; require the
+        # caller to pass the subset explicitly if that is intended.
+        raise ValueError(
+            f"mesh {batch}x{model} uses only {batch * model} of {n} "
+            "devices; pass devices=... explicitly to use a subset"
+        )
     grid = np.array(devs[: batch * model]).reshape(batch, model)
     return Mesh(grid, ("batch", "model"))
 
