@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -47,13 +48,18 @@ def main() -> None:
     )
 
     m, n = args.m, args.n
-    # Build A on device in shards to avoid a giant host array.
+    # Build A SHARD-LOCAL: jit with out_shardings materializes each chip's
+    # columns on that chip directly.  An eager jax.random.normal would
+    # commit the full operator to device 0 first (8 GB at n=1e6) and OOM
+    # at exactly the scale model-sharding exists for.
     key = jax.random.PRNGKey(0)
     mesh = make_mesh(model=args.model_shards)
-    A = jax.device_put(
-        jax.random.normal(key, (m, n), jnp.float32) / np.sqrt(m),
-        operator_sharding(mesh),
-    )
+
+    @partial(jax.jit, out_shardings=operator_sharding(mesh))
+    def build_A(key):
+        return jax.random.normal(key, (m, n), jnp.float32) / np.sqrt(m)
+
+    A = build_A(key)
     b = jax.random.normal(jax.random.PRNGKey(1), (m,), jnp.float32)
     L = 2 * operator_norm_sq(A, 30)
     lr = (1.0 / L).astype(jnp.float32)

@@ -54,10 +54,19 @@ def main() -> None:
         )
         out = args.out / f"{name}_ab.csv"
         write_ab_csv(rows, out)
-        best = min(rows, key=lambda r: r["nit"])
+        # Pairs with zero converged starts carry nit=None (momentum_sweep
+        # contract) — skip them in the summary instead of crashing.
+        ok_rows = [r for r in rows if r["nit"] is not None]
+        if not ok_rows:
+            print(f"{name}: no momentum pair converged for any start")
+            continue
+        best = min(ok_rows, key=lambda r: r["nit"])
         classic = rows[0]
+        classic_s = (
+            f"{classic['nit']:.1f} it" if classic["nit"] is not None else "failed"
+        )
         print(
-            f"{name}: classic (0,0) {classic['nit']:.1f} it -> best "
+            f"{name}: classic (0,0) {classic_s} -> best "
             f"(a={best['a']}, b={best['b']}) {best['nit']:.1f} it"
         )
 

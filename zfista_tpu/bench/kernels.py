@@ -75,10 +75,12 @@ def sweep_chain(n: int, n_iter: int = 300) -> dict:
     run_p = loop(lambda *a: fused_prox_momentum(*a))
     run_x = loop(fused_prox_momentum_xla)
 
-    # bit parity before timing
+    # bit parity before timing — over the WHOLE carry (a kernel bug
+    # confined to the momentum output y would otherwise pass unnoticed).
     out_p = jax.block_until_ready(run_p(y, grad, x))
     out_x = jax.block_until_ready(run_x(y, grad, x))
-    np.testing.assert_array_equal(np.asarray(out_p[0]), np.asarray(out_x[0]))
+    for a, b_ in zip(out_p, out_x):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
     t_p = _time_loop(run_p, y, grad, x)
     t_x = _time_loop(run_x, y, grad, x)
@@ -122,9 +124,8 @@ def sweep_step(n: int, m: int = 256, n_iter: int = 300) -> dict:
     run_x = loop(fista_step_dense)
     out_p = jax.block_until_ready(run_p(A, b, carry))
     out_x = jax.block_until_ready(run_x(A, b, carry))
-    np.testing.assert_allclose(
-        np.asarray(out_p[0]), np.asarray(out_x[0]), atol=0, rtol=0
-    )
+    for a, b_ in zip(out_p, out_x):  # whole carry: x, y AND t
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=0, rtol=0)
     t_p = _time_loop(run_p, A, b, carry)
     t_x = _time_loop(run_x, A, b, carry)
     return dict(

@@ -45,7 +45,12 @@ def show_pareto_front(
         [
             np.asarray(r.allfuns[0])
             if getattr(r, "allfuns", None)
-            else np.asarray(problem.f(jnp.asarray(r.x0)))
+            # F = f + g: the history path records the full composite value,
+            # so the no-history fallback must too (g can be nonzero — L1 /
+            # indicator variants).
+            else np.asarray(
+                problem.f(jnp.asarray(r.x0)) + problem.g(jnp.asarray(r.x0))
+            )
             for r in first
         ]
     )

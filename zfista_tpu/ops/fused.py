@@ -27,9 +27,12 @@ framework's Pallas layer — tested for bit-parity (tests/test_fused.py)
 and ready for ops XLA *cannot* fuse (e.g. data-dependent scatter proxes),
 none of which this workload family has needed.
 
-All kernels are shape-static, pad to the (8, 128) f32 tile, and fall back
-to pure-jnp on non-TPU backends (tests run the Pallas path in interpreter
-mode for bit-parity).
+All kernels are shape-static and pad to the (8, 128) f32 tile.  Only
+``fused_prox_momentum_auto`` falls back to pure-jnp on non-TPU backends;
+the raw kernels (``fused_prox_momentum``, ``fista_step_dense_pallas``)
+require a TPU unless called with ``interpret=True`` (how the tests run
+the Pallas path for bit-parity on CPU) — on other backends they fail in
+Pallas lowering.
 """
 
 from __future__ import annotations
