@@ -77,7 +77,6 @@ class _LS(NamedTuple):
     k: Array
     done: Array
     x: Array
-    f_x: Array
     F_x: Array
     w: Array
     sub_fun: Array
@@ -105,6 +104,7 @@ def _make_step(
     project_momentum: bool = False,
     track_objective: bool = True,
     unguarded: bool = False,
+    max_iter: int | None = None,
 ) -> Callable[[State], State]:
     """Build the jittable outer-iteration step (all options static).
 
@@ -162,7 +162,6 @@ def _make_step(
                 k=jnp.asarray(1, jnp.int32),
                 done=jnp.asarray(True),
                 x=sub.x,
-                f_x=f_t,
                 F_x=F_t,
                 w=w,
                 sub_fun=sub_fun,
@@ -192,7 +191,6 @@ def _make_step(
                 k=c.k + 1,
                 done=ok,
                 x=sub.x,
-                f_x=f_t,
                 F_x=F_t,
                 w=w,
                 sub_fun=sub.fun,
@@ -204,7 +202,6 @@ def _make_step(
             k=jnp.asarray(0, jnp.int32),
             done=jnp.asarray(False),
             x=state.x,
-            f_x=f_y,  # placeholder, overwritten on first trial
             F_x=F_old,
             w=state.w,
             sub_fun=jnp.zeros((), state.x.dtype),
@@ -235,7 +232,17 @@ def _make_step(
                 # (kills the characteristic FISTA ripple near tolerance;
                 # opt-in — the reference has no restart, and trajectories
                 # with it on diverge from reference trajectories).
-                osc = jnp.dot(state.y - ls.x, ls.x - state.x) > 0
+                # Full precision: under vmap this dot can lower to a bf16
+                # MXU batched product, making the restart sign test
+                # noise-driven near zero.
+                osc = (
+                    jnp.dot(
+                        state.y - ls.x,
+                        ls.x - state.x,
+                        precision=lax.Precision.HIGHEST,
+                    )
+                    > 0
+                )
                 t_k = jnp.where(osc, jnp.ones_like(t_k), t_k)
             t_new = jnp.sqrt(t_k**2 - a * t_k + b) + 0.5
             gamma = (t_k - 1) / t_new
@@ -261,8 +268,14 @@ def _make_step(
             # Skip rows for frozen states: masked drivers (check_every > 1,
             # the scan driver) call step() on already-converged carries and
             # discard the result — printing there would emit phantom rows.
+            # The max_iter freeze must be included: a state parked at the
+            # iteration cap is neither converged nor failed but is equally
+            # frozen (``_active``'s third clause).
+            frozen = state.converged | state.failed
+            if max_iter is not None:
+                frozen = frozen | (state.nit >= max_iter)
             lax.cond(
-                state.converged | state.failed,
+                frozen,
                 lambda *_: None,
                 lambda n, ni, e, s, lr_: jax.debug.print(
                     "|{n:>6}|{ni:>8}|{e:>+13.4e}|{s:>+13.4e}|{lr:>10.2e}|",
@@ -648,7 +661,10 @@ def minimize_proximal_gradient(
         f_b, g_b, jac_b, prox_b = _bind_params(f, g, jac_f, prox_wsum_g, params)
     else:
         f_b, g_b, jac_b, prox_b = f, g, jac_f, prox_wsum_g
-    f_v, g_v, jac_v, prox_v, m, scalar_mode = _normalize_problem(
+    # Only the objective count and the scalar-mode flag are consumed here;
+    # each compiled program re-normalizes its own callables (make_step_for,
+    # traced_init, traced_final) so params stay traced arguments.
+    _, _, _, _, m, scalar_mode = _normalize_problem(
         f_b, g_b, jac_b, prox_b, x0
     )
 
@@ -700,7 +716,7 @@ def minimize_proximal_gradient(
         else:
             fb, gb, jacb, proxb = f, g, jac_f, prox_wsum_g
         fv, gv, jacv, proxv, _, _ = _normalize_problem(fb, gb, jacb, proxb, template)
-        return _make_step(fv, gv, jacv, proxv, m, **opts)
+        return _make_step(fv, gv, jacv, proxv, m, max_iter=max_iter, **opts)
 
     cache_key_base = (
         f,
@@ -757,6 +773,10 @@ def minimize_proximal_gradient(
                 stacklevel=2,
             )
         chunk = int(history_chunk)
+        if chunk < 1:
+            # A 0-length scan records nothing and the host loop would
+            # return a bogus never-ran "max iterations" result.
+            raise ValueError(f"history_chunk must be >= 1, got {chunk}")
 
         def build_scan():
             def run(state: State, p):

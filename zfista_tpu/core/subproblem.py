@@ -62,6 +62,11 @@ from zfista_tpu.ops.prox import project_simplex
 # plateaus at ~1e-3).  GEMV/small-matmul here is bandwidth-bound, so full
 # precision costs nothing.
 _DOT = partial(jnp.matmul, precision=lax.Precision.HIGHEST)
+#: Full-precision vector-vector dot.  Same rationale as _DOT: under vmap a
+#: batched inner product lowers to a batched dot_general that MAY take the
+#: MXU's bf16 default; these dots feed accept/stall decisions (model
+#: values, Armijo tests) where 1e-3 relative noise breaks convergence.
+_VDOT = partial(jnp.dot, precision=lax.Precision.HIGHEST)
 
 
 class SubproblemResult(NamedTuple):
@@ -92,10 +97,10 @@ def _make_dual(f_y, jac_f_y, F_old, g, prox_wsum_g, lr, y, deprecated: bool):
         g_xw = g(x_w)
         diff = x_w - u
         fun = (
-            -jnp.dot(w, g_xw)
-            - jnp.dot(diff, diff) / (2 * lr)
-            + (lr / 2) * jnp.dot(wsum_jac, wsum_jac)
-            + jnp.dot(w, shift)
+            -_VDOT(w, g_xw)
+            - _VDOT(diff, diff) / (2 * lr)
+            + (lr / 2) * _VDOT(wsum_jac, wsum_jac)
+            + _VDOT(w, shift)
         )
         grad = -g_xw - _DOT(jac_f_y, x_w - y) + shift
         return fun, grad
@@ -155,7 +160,7 @@ def make_subproblem_solver(
             grad = jac_f_y[0]
             x = prox_wsum_g(lr * jnp.ones((1,), y.dtype), y - lr * grad)
             d = x - y
-            fun = jnp.dot(grad, d) + g(x)[0] + jnp.dot(d, d) / (2 * lr)
+            fun = _VDOT(grad, d) + g(x)[0] + _VDOT(d, d) / (2 * lr)
             if not deprecated:
                 fun = fun + (f_y[0] - F_old[0])
             return SubproblemResult(
@@ -319,7 +324,7 @@ def make_subproblem_solver(
             d_newton = d_newton - (1.0 - fm) * grad / Ls
 
             bad = (~jnp.all(jnp.isfinite(d_newton))) | (
-                jnp.dot(grad, d_newton) >= 0
+                _VDOT(grad, d_newton) >= 0
             )
             d_pg = -grad / Ls
             d_first = jnp.where(bad, d_pg, d_newton)
@@ -342,7 +347,7 @@ def make_subproblem_solver(
                     # Newton direction silently freezes the iterate).
                     moved = jnp.any(w_t != c.w)
                     return moved & (
-                        phi_t <= phi + c1 * jnp.dot(grad, w_t - c.w) + slack
+                        phi_t <= phi + c1 * _VDOT(grad, w_t - c.w) + slack
                     )
 
                 def ls_cond(s):
