@@ -160,7 +160,7 @@ def test_dual_solver_dominates_reference():
         f_y = prob.f(y)
         jac = prob.jac_f(y)
         F_old = prob.f(x) + prob.g(x)
-        _, vag = _make_dual(f_y, jac, F_old, prob.g, prob.prox_wsum_g, lr, y, False)
+        _, vag, _ = _make_dual(f_y, jac, F_old, prob.g, prob.prox_wsum_g, lr, y, False)
         ours = solve(lr, F_old, y, f_y, jac, jnp.full((3,), 1 / 3.0))
         theirs = ref_sub(
             prox_wsum_g=to_np(prob.prox_wsum_g),
@@ -204,7 +204,7 @@ def test_rank1_dual_value_parity():
         f_y = prob.f(y)
         jac = prob.jac_f(y)
         F_old = f_y + prob.g(y)
-        _, vag = _make_dual(f_y, jac, F_old, prob.g, prob.prox_wsum_g, lr, y, False)
+        _, vag, _ = _make_dual(f_y, jac, F_old, prob.g, prob.prox_wsum_g, lr, y, False)
         ours = solve(lr, F_old, y, f_y, jac, jnp.full((4,), 0.25))
         theirs = ref_sub(
             prox_wsum_g=to_np(prob.prox_wsum_g),

@@ -86,26 +86,41 @@ def _make_dual(f_y, jac_f_y, F_old, g, prox_wsum_g, lr, y, deprecated: bool):
     """
     shift = jnp.zeros_like(f_y) if deprecated else F_old - f_y
 
-    def primal_at(w: Array) -> Array:
-        u = y - lr * _DOT(w, jac_f_y)
-        return prox_wsum_g(lr * w, u)
-
-    def value_and_grad(w: Array):
+    def _eval(w: Array):
         wsum_jac = _DOT(w, jac_f_y)
         u = y - lr * wsum_jac
         x_w = prox_wsum_g(lr * w, u)
-        g_xw = g(x_w)
+        return wsum_jac, u, x_w
+
+    def _fun(w, wsum_jac, u, x_w, g_xw):
         diff = x_w - u
-        fun = (
+        return (
             -_VDOT(w, g_xw)
             - _VDOT(diff, diff) / (2 * lr)
             + (lr / 2) * _VDOT(wsum_jac, wsum_jac)
             + _VDOT(w, shift)
         )
+
+    def primal_at(w: Array) -> Array:
+        return _eval(w)[2]
+
+    def value_and_grad(w: Array):
+        wsum_jac, u, x_w = _eval(w)
+        g_xw = g(x_w)
+        fun = _fun(w, wsum_jac, u, x_w, g_xw)
         grad = -g_xw - _DOT(jac_f_y, x_w - y) + shift
         return fun, grad
 
-    return primal_at, value_and_grad
+    def value_and_primal(w: Array):
+        """One evaluation serving both the final dual value AND the primal
+        recovery — the finalize sites previously called ``primal_at`` and
+        ``value_and_grad`` back to back, paying a redundant prox + matvec
+        unless XLA's CSE happened to merge them."""
+        wsum_jac, u, x_w = _eval(w)
+        fun = _fun(w, wsum_jac, u, x_w, g(x_w))
+        return fun, x_w
+
+    return primal_at, value_and_grad, value_and_primal
 
 
 def solve_small_linear(K: Array, b: Array) -> Array:
@@ -180,7 +195,7 @@ def make_subproblem_solver(
         )
 
         def solve_m2(lr, F_old, y, f_y, jac_f_y, w0) -> SubproblemResult:
-            primal_at, vag = _make_dual(
+            primal_at, vag, vap = _make_dual(
                 f_y, jac_f_y, F_old, g, prox_wsum_g, lr, y, deprecated
             )
 
@@ -234,8 +249,7 @@ def make_subproblem_solver(
                 operand=None,
             )
             w = jnp.stack([t_star, 1 - t_star])
-            x = primal_at(w)
-            phi_star, _ = vag(w)
+            phi_star, x = vap(w)
             return SubproblemResult(
                 x=x,
                 fun=-phi_star,
@@ -266,7 +280,7 @@ def make_subproblem_solver(
     newton_cap = min(max_iter, 30)
 
     def solve_mk(lr, F_old, y, f_y, jac_f_y, w0) -> SubproblemResult:
-        primal_at, vag = _make_dual(
+        primal_at, vag, vap = _make_dual(
             f_y, jac_f_y, F_old, g, prox_wsum_g, lr, y, deprecated
         )
         dtype = y.dtype
@@ -428,8 +442,7 @@ def make_subproblem_solver(
         )
         final = lax.while_loop(cond, body, init)
 
-        x = primal_at(final.w)
-        phi_star, _ = vag(final.w)
+        phi_star, x = vap(final.w)
         return SubproblemResult(x=x, fun=-phi_star, weight=final.w, nit=final.nit)
 
     return solve_mk
