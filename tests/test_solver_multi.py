@@ -219,3 +219,29 @@ def test_solve_small_linear_vmaps():
         rtol=1e-5,
         atol=1e-8,
     )
+
+
+@pytest.mark.parametrize("m_case", ["m2", "m3"])
+def test_multiobjective_check_every_bitwise(m_case):
+    """check_every>1 on multiobjective solves routes through the masked
+    fori driver (chunk-select is scalar-only); results must stay bitwise
+    identical to check_every=1 for the bisection (m=2) and semismooth-
+    Newton (m=3) subproblem paths too."""
+    from zfista_tpu.models.zoo import FDS, JOS1
+
+    prob = JOS1(n_features=6) if m_case == "m2" else FDS(n_features=6)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-1.5, 1.5, size=6))
+    opts = dict(nesterov=True, tol=1e-7, max_iter=500)
+    base = minimize_proximal_gradient(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0, **opts
+    )
+    fast = minimize_proximal_gradient(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0, check_every=5, **opts
+    )
+    assert base.success and fast.success
+    assert base.nit == fast.nit
+    for name, fa, ba in zip(base.state._fields, fast.state, base.state):
+        np.testing.assert_array_equal(
+            np.asarray(fa), np.asarray(ba), err_msg=f"state field {name}"
+        )
