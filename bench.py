@@ -76,7 +76,35 @@ def _public_api_iters_per_s(A, b, lam, lr, n_iter: int) -> float:
     return n_iter / best
 
 
+def _probe_backend(timeout_s: int = 300) -> str | None:
+    """Fail FAST if the accelerator backend is unreachable.
+
+    ``jax.devices()`` hangs indefinitely when a tunneled backend is down;
+    probing in a killable subprocess turns an unbounded harness hang into
+    a bounded, explained failure."""
+    import subprocess
+    import sys
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend probe timed out after {timeout_s}s (tunnel down?)"
+    if p.returncode != 0:
+        return f"backend init failed: {p.stderr.strip().splitlines()[-1][:200] if p.stderr else 'unknown'}"
+    return None
+
+
 def main() -> None:
+    err = _probe_backend()
+    if err is not None:
+        print(json.dumps({"metric": "lasso_n10k_fista_iterations_per_s", "error": err}))
+        raise SystemExit(1)
+
     import jax
     import jax.numpy as jnp
     from jax import lax
