@@ -3,31 +3,65 @@
 Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
 
 The north-star metric (BASELINE.json) is iterations/s + wall-time to 1e-8
-optimality gap on LASSO n=10k with dense A.  The reference solves LASSO via
-numpy on CPU (reference: tests/test_proximal_gradient.py:43-114, pure-Python
-loop in zfista/proximal_gradient.py:474-538); ``vs_baseline`` is measured
-against that same iteration loop executed here on the host CPU via numpy so
-the ratio is apples-to-apples on this machine (target: >= 50x).
+optimality gap on LASSO n=10k with dense A.  ``vs_baseline`` is measured
+against the same iteration loop executed here on the host CPU via numpy
+(the reference's compute pattern) so the ratio is apples-to-apples on this
+machine (target: >= 50x).  ``reference_solver_iters_per_s`` additionally
+times the ACTUAL reference implementation (``zfista.minimize_proximal_gradient``
+from the mounted tree, reference: zfista/proximal_gradient.py:311) on the
+identical workload — the numpy loop is the *faster* of the two baselines,
+so ``vs_baseline`` is the conservative ratio.
 
 The headline ``value`` is the PUBLIC API path (``Lasso.solve_fixed_step``
 end-to-end, check_every=128); ``raw_loop_iters_per_s`` is the hand-rolled
 ``fori_loop`` over the same step, and ``public_over_raw`` is their ratio —
 the framework overhead users pay (target: >= 0.85).
+
+Failure behavior: the accelerator tunnel can be down.  The backend is
+probed in killable subprocesses with retries + backoff (a bare
+``jax.devices()`` hangs forever when the tunnel is down); on failure the
+JSON line still carries every CPU-side number that was measured, so a
+transient outage costs the accelerator value only, not the whole record.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+METRIC = "lasso_n10k_fista_iterations_per_s"
+
+
+def _make_problem(m: int = 2000, n: int = 10000):
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((m, n)).astype(np.float32) / np.sqrt(m)
+    x_true = np.zeros(n, np.float32)
+    idx = rng.choice(n, 100, replace=False)
+    x_true[idx] = rng.standard_normal(100).astype(np.float32)
+    b = A @ x_true + 0.01 * rng.standard_normal(m).astype(np.float32)
+    return A, b, 0.01
+
+
+def _operator_norm_sq_np(A: np.ndarray, n_iter: int = 100) -> float:
+    """||A||_2^2 by power iteration on A^T A (numpy, float64)."""
+    A = np.asarray(A, np.float64)
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(A.shape[1])
+    v /= np.linalg.norm(v)
+    for _ in range(n_iter):
+        w = A.T @ (A @ v)
+        v = w / np.linalg.norm(w)
+    return float(v @ (A.T @ (A @ v)))
 
 
 def _reference_style_cpu_iters_per_s(A, b, lam, lr, n_iter=100, repeats=3):
     """Classic FISTA iteration in numpy — the reference's compute pattern
     (gradient matvecs + soft-threshold + momentum, float64, host CPU).
     Best of ``repeats`` timed runs after a warmup, so the ratio is against
-    the host CPU at its fastest (conservative for the TPU number)."""
+    the host CPU at its fastest (conservative for the accelerator number)."""
     A = np.asarray(A, np.float64)
     b = np.asarray(b, np.float64)
 
@@ -49,13 +83,54 @@ def _reference_style_cpu_iters_per_s(A, b, lam, lr, n_iter=100, repeats=3):
     return n_iter / min(run_once() for _ in range(repeats))
 
 
+def _reference_solver_iters_per_s(A, b, lam, lr, n_iter=50):
+    """Time the ACTUAL reference solver (zfista.minimize_proximal_gradient,
+    reference: zfista/proximal_gradient.py:311) on the same fixed-step FISTA
+    workload: decay_rate=1 (no backtracking), nesterov=True, tol=0 pins the
+    iteration count.  Returns None if the mounted reference is unavailable."""
+    import warnings
+
+    try:
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from zfista import minimize_proximal_gradient  # noqa: PLC0415
+    except Exception:
+        return None
+
+    A = np.asarray(A, np.float64)
+    b = np.asarray(b, np.float64)
+
+    def f(x):
+        r = A @ x - b
+        return float(r @ r)
+
+    def jac(x):
+        return 2 * (A.T @ (A @ x - b))
+
+    def g(x):
+        return lam * float(np.abs(x).sum())
+
+    def prox(w, x):  # n_obj==1: called as prox(lr, y - lr*grad)
+        t = w * lam
+        return np.sign(x) * np.maximum(np.abs(x) - t, 0)
+
+    x0 = np.zeros(A.shape[1])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # max-iter warning is expected (tol=0)
+        t0 = time.perf_counter()
+        res = minimize_proximal_gradient(
+            f, g, jac, prox, x0, lr=lr, decay_rate=1.0, nesterov=True,
+            tol=0.0, max_iter=n_iter,
+        )
+        elapsed = time.perf_counter() - t0
+    return res.nit / elapsed
+
+
 def _public_api_iters_per_s(A, b, lam, lr, n_iter: int) -> float:
     """Time ``Lasso.solve_fixed_step`` END-TO-END — the path users call:
     public facade -> compiled-driver cache -> ``lax.while_loop`` with
     ``check_every=128`` chunk-select unrolling.  ``tol=0`` pins the iteration count
     to ``n_iter`` so the number is comparable with the raw loop."""
-    import time as _t
-
     import jax.numpy as jnp
 
     from zfista_tpu.models.lasso import Lasso
@@ -69,21 +144,18 @@ def _public_api_iters_per_s(A, b, lam, lr, n_iter: int) -> float:
     prob.solve_fixed_step(x0, max_iter=n_iter, **opts)  # compile + warm
     best = np.inf
     for _ in range(3):
-        start = _t.perf_counter()
+        start = time.perf_counter()
         res = prob.solve_fixed_step(x0, max_iter=n_iter, **opts)
-        best = min(best, _t.perf_counter() - start)
+        best = min(best, time.perf_counter() - start)
     assert res.nit == n_iter
     return n_iter / best
 
 
-def _probe_backend(timeout_s: int = 300) -> str | None:
-    """Fail FAST if the accelerator backend is unreachable.
-
-    ``jax.devices()`` hangs indefinitely when a tunneled backend is down;
-    probing in a killable subprocess turns an unbounded harness hang into
-    a bounded, explained failure."""
+def _probe_backend_once(timeout_s: int) -> str | None:
+    """One probe attempt in a killable subprocess (``jax.devices()`` hangs
+    indefinitely when a tunneled backend is down; a subprocess turns an
+    unbounded harness hang into a bounded, explained failure)."""
     import subprocess
-    import sys
 
     try:
         p = subprocess.run(
@@ -95,36 +167,57 @@ def _probe_backend(timeout_s: int = 300) -> str | None:
     except subprocess.TimeoutExpired:
         return f"backend probe timed out after {timeout_s}s (tunnel down?)"
     if p.returncode != 0:
-        return f"backend init failed: {p.stderr.strip().splitlines()[-1][:200] if p.stderr else 'unknown'}"
+        lines = p.stderr.strip().splitlines() if p.stderr else []
+        return f"backend init failed: {lines[-1][:200] if lines else 'unknown'}"
     return None
 
 
+def _probe_backend(attempt_timeouts=(90, 90, 90), backoffs=(10, 20)) -> str | None:
+    """Probe with retries + backoff inside a ~300 s total budget: tunnel
+    outages are often transient, so one failed probe should not forfeit the
+    whole benchmark record."""
+    err = None
+    for i, t in enumerate(attempt_timeouts):
+        err = _probe_backend_once(t)
+        if err is None:
+            return None
+        if i < len(backoffs):
+            time.sleep(backoffs[i])
+    return f"{err} [{len(attempt_timeouts)} attempts]"
+
+
 def main() -> None:
+    A_np, b_np, lam = _make_problem()
+    L = 2 * _operator_norm_sq_np(A_np)
+    lr = 1.0 / L
+
+    # CPU-side baselines first: they survive into the error JSON if the
+    # accelerator tunnel turns out to be down.
+    cpu_ips = _reference_style_cpu_iters_per_s(A_np, b_np, lam, lr)
+    ref_ips = _reference_solver_iters_per_s(A_np, b_np, lam, lr)
+
+    partial = {
+        "cpu_iters_per_s": round(cpu_ips, 2),
+        "reference_solver_iters_per_s": round(ref_ips, 2) if ref_ips else None,
+    }
+
     err = _probe_backend()
     if err is not None:
-        print(json.dumps({"metric": "lasso_n10k_fista_iterations_per_s", "error": err}))
+        print(json.dumps({"metric": METRIC, "error": err, **partial}))
         raise SystemExit(1)
 
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    from zfista_tpu.models.lasso import fista_step_dense, operator_norm_sq
+    from zfista_tpu.models.lasso import fista_step_dense
 
-    m, n = 2000, 10000
-    rng = np.random.default_rng(0)
-    A_np = rng.standard_normal((m, n)).astype(np.float32) / np.sqrt(m)
-    x_true = np.zeros(n, np.float32)
-    idx = rng.choice(n, 100, replace=False)
-    x_true[idx] = rng.standard_normal(100).astype(np.float32)
-    b_np = A_np @ x_true + 0.01 * rng.standard_normal(m).astype(np.float32)
-
+    n = A_np.shape[1]
     dev_dtype = jnp.float32
     A = jnp.asarray(A_np, dev_dtype)
     b = jnp.asarray(b_np, dev_dtype)
-    lam = jnp.asarray(0.01, dev_dtype)
-    L = float(2 * operator_norm_sq(A, 100))
-    lr = jnp.asarray(1.0 / L, dev_dtype)
+    lam_dev = jnp.asarray(lam, dev_dtype)
+    lr_dev = jnp.asarray(lr, dev_dtype)
 
     n_iter = 4000
 
@@ -134,7 +227,7 @@ def main() -> None:
         # software-pipeline consecutive steps (measured: 27.8k iter/s at
         # unroll=128 vs 17.1k at 8 on v5e; BENCHMARKS.md unroll sweep).
         def body(_, c):
-            return fista_step_dense(A, b, lam, lr, c)
+            return fista_step_dense(A, b, lam_dev, lr_dev, c)
 
         return lax.fori_loop(0, n_iter, body, carry, unroll=128)
 
@@ -149,19 +242,18 @@ def main() -> None:
 
     # The SAME workload through the public solver facade (the number users
     # get; raw-loop vs public gap = framework overhead, target <= ~15%).
-    public_iters_per_s = _public_api_iters_per_s(A_np, b_np, 0.01, 1.0 / L, n_iter)
+    public_iters_per_s = _public_api_iters_per_s(A_np, b_np, lam, lr, n_iter)
 
-    cpu_ips = _reference_style_cpu_iters_per_s(A_np, b_np, 0.01, 1.0 / L)
     print(
         json.dumps(
             {
-                "metric": "lasso_n10k_fista_iterations_per_s",
+                "metric": METRIC,
                 "value": round(public_iters_per_s, 2),
                 "unit": "iter/s",
                 "vs_baseline": round(public_iters_per_s / cpu_ips, 2),
                 "raw_loop_iters_per_s": round(raw_iters_per_s, 2),
                 "public_over_raw": round(public_iters_per_s / raw_iters_per_s, 3),
-                "cpu_iters_per_s": round(cpu_ips, 2),
+                **partial,
             }
         )
     )

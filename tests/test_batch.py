@@ -222,3 +222,36 @@ def test_batch_check_every_bitwise():
         np.testing.assert_array_equal(
             np.asarray(fa), np.asarray(ba), err_msg=f"state field {name}"
         )
+
+
+def test_batch_resume_history_head(toy_lasso):
+    """Resumed batched history must head allvecs with the RESUME iterate
+    (paired with allfuns[0] = F at that iterate), not the original x0 —
+    mirroring the single-solve resume path."""
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    x0s = jnp.array([[0.0], [3.0]])
+    kw = dict(lr=0.4, nesterov=True)
+    first = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, max_iter=4, **kw
+    )
+    states = jax.tree.map(jnp.asarray, first.state)
+    resumed = minimize_proximal_gradient_batch(
+        prob.f,
+        prob.g,
+        prob.jac_f,
+        prob.prox_wsum_g,
+        x0s,
+        initial_states=states,
+        record_vecs=True,
+        history_chunk=16,
+        **kw,
+    )
+    for i, r in enumerate(resumed.to_list()):
+        head = np.asarray(r.allvecs[0])
+        np.testing.assert_array_equal(head, np.asarray(first.state.x[i]))
+        # the head PAIR is consistent: allfuns[0] is F at the head iterate
+        F_head = np.asarray(prob.f(head) + prob.g(head)).ravel()[0]
+        np.testing.assert_allclose(r.allfuns[0], F_head, rtol=1e-6)
+        # x0 after 4 iterations has moved, so the head is NOT x0
+        assert not np.array_equal(head, np.asarray(x0s[i]))

@@ -94,3 +94,40 @@ def test_optimality_gap_example():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "wall_to_1e-08_gap_s" in r.stdout
+
+
+def test_cameraman_deblur_image_flag(tmp_path):
+    """--image accepts a real photograph (non-square: center-cropped +
+    resized) and produces the measured-time CSV."""
+    import matplotlib
+    from PIL import Image
+
+    sample = (
+        Path(matplotlib.__file__).parent / "mpl-data" / "sample_data" / "grace_hopper.jpg"
+    )
+    if not sample.exists():
+        import numpy as np
+
+        sample = tmp_path / "photo.png"
+        rng = np.random.default_rng(0)
+        Image.fromarray(
+            (rng.uniform(0, 255, (96, 80))).astype("uint8")
+        ).save(sample)
+    r = _run(
+        [
+            "cameraman_deblur.py",
+            "--size",
+            "32",
+            "--max-iter",
+            "600",
+            "--image",
+            str(sample),
+            "--out",
+            str(tmp_path),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "cameraman_ab.csv").exists()
+    # measured time column present for converged pairs
+    lines = (tmp_path / "cameraman_ab.csv").read_text().strip().splitlines()
+    assert len(lines) == 15

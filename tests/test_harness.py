@@ -139,3 +139,52 @@ def test_cache_invalidated_on_config_change(tmp_path):
         load_or_run_results(
             prob, -2.0, 4.0, tmp_path, n_samples=3, max_iter=200, history=False
         )
+
+
+def test_cache_config_with_array_kwarg(tmp_path):
+    """Array-valued kwargs (e.g. a variants dict carrying an ndarray
+    nesterov_ratio) must not break cache-config validation with
+    'truth value of an array is ambiguous' (review finding)."""
+    import warnings as _w
+
+    from zfista_tpu.models.zoo import JOS1
+
+    prob = JOS1(n_features=5)
+    variants = {"Acc": dict(nesterov=True, nesterov_ratio=np.array([0.5, 0.25]))}
+    r1 = load_or_run_results(
+        prob, -2.0, 4.0, tmp_path, n_samples=2, max_iter=500,
+        history=False, variants=variants,
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # cache hit: no "different settings" warning
+        r2 = load_or_run_results(
+            prob, -2.0, 4.0, tmp_path, n_samples=2, max_iter=500,
+            history=False, variants=variants,
+        )
+    np.testing.assert_array_equal(r1["Acc"][0].x, r2["Acc"][0].x)
+
+
+def test_projected_variant_added_for_bounded_problems():
+    """Bounded problems get the 'Accelerated (projected)' variant next to
+    the three reference-parity variants; it converges where the
+    reference-parity accelerated variant fails (error rate 0 vs 1)."""
+    from zfista_tpu.models.zoo import SD
+
+    prob = SD()
+    results = benchmark(prob, 1.0, 2.0, n_samples=3, max_iter=3000, history=False)
+    assert set(results) == {
+        "Normal",
+        "Accelerated",
+        "Accelerated (deprecated)",
+        "Accelerated (projected)",
+    }
+    assert all(r.success for r in results["Accelerated (projected)"])
+    # (the reference-parity failure of the UNprojected accelerated variant
+    # is pinned on ZDT1 by test_solver_behavior.py::
+    # test_project_momentum_fixes_zdt1_fista; SD fails only from some
+    # starts, so no blanket assertion here)
+    # unbounded problems keep exactly the reference's three variants
+    plain = benchmark(
+        JOS1(n_features=5), -2.0, 4.0, n_samples=2, max_iter=500, history=False
+    )
+    assert set(plain) == {"Normal", "Accelerated", "Accelerated (deprecated)"}

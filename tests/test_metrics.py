@@ -132,3 +132,101 @@ def test_ratio_ignores_nan_entries():
         assert np.isnan(r["Normal"])
         assert r["Accelerated"] == 1.0 and r["Dep"] == 2.0
     assert all(np.isnan(v) for v in _ratio({"a": np.nan}, maximize=True).values())
+
+
+# ---------------------------------------------------------------------------
+# Absolute-value hypervolume cross-validation (VERDICT round-2 item 8).
+# pymoo cannot be installed in this environment, so absolute values are
+# pinned two independent ways instead:
+#   1. an INDEPENDENT exact algorithm (z-slice sweep over 2-D sweeps, below,
+#      sharing no code with the shipped WFG recursion) on random fronts;
+#   2. hand-computed golden constants, including the value pymoo's
+#      convention (`Hypervolume(pf=front_true)` = unnormalized HV against
+#      the true front's nadir, zero_to_one=False default) would produce,
+#      which differs from ours by exactly prod(nadir - ideal).
+# ---------------------------------------------------------------------------
+
+
+def _oracle_hv_2d(pts, ref):
+    """Independent 2-D HV: brute union of rectangles via coordinate grid."""
+    pts = np.asarray(pts, float)
+    pts = pts[np.all(pts < ref, axis=1)]
+    if len(pts) == 0:
+        return 0.0
+    xs = np.unique(np.concatenate([pts[:, 0], [ref[0]]]))
+    hv = 0.0
+    for x0, x1 in zip(xs[:-1], xs[1:]):
+        covering = pts[pts[:, 0] <= x0]
+        if len(covering):
+            hv += (x1 - x0) * (ref[1] - covering[:, 1].min())
+    return hv
+
+
+def _oracle_hv_3d(pts, ref):
+    """Independent exact 3-D HV: sweep z-slices, 2-D HV per slab."""
+    pts = np.asarray(pts, float)
+    pts = pts[np.all(pts < ref, axis=1)]
+    if len(pts) == 0:
+        return 0.0
+    zs = np.unique(np.concatenate([pts[:, 2], [ref[2]]]))
+    hv = 0.0
+    for z0, z1 in zip(zs[:-1], zs[1:]):
+        active = pts[pts[:, 2] <= z0]
+        if len(active):
+            hv += (z1 - z0) * _oracle_hv_2d(active[:, :2], ref[:2])
+    return hv
+
+
+def test_hypervolume_3d_matches_independent_oracle():
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 5, 12, 30):
+        pts = rng.uniform(0, 1, size=(n, 3))
+        ref = np.array([1.1, 1.2, 1.3])
+        ours = hypervolume(pts, ref_point=ref)
+        oracle = _oracle_hv_3d(pts, ref)
+        np.testing.assert_allclose(ours, oracle, rtol=1e-12, err_msg=f"n={n}")
+
+
+def test_hypervolume_2d_matches_independent_oracle():
+    rng = np.random.default_rng(4)
+    for n in (1, 3, 17, 40):
+        pts = rng.uniform(0, 1, size=(n, 2))
+        ref = np.array([1.05, 1.5])
+        np.testing.assert_allclose(
+            hypervolume(pts, ref_point=ref), _oracle_hv_2d(pts, ref), rtol=1e-12
+        )
+
+
+def test_hypervolume_golden_constants():
+    """Hand-computed golden values, both conventions.
+
+    3-obj: points (0,0,1),(0,1,0),(1,0,0) vs ref (2,2,2).  Inclusion-
+    exclusion by hand: 3 boxes of volume 4, pairwise intersections of
+    volume 2, triple intersection 1 -> 12 - 6 + 1 = 7.
+    """
+    pts3 = np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(
+        hypervolume(pts3, ref_point=np.array([2.0, 2.0, 2.0])), 7.0, rtol=1e-14
+    )
+
+    # 2-obj front [[0,4],[1,2],[3,1],[4,0]] as its own true front:
+    # ideal (0,0), nadir (4,4).  Normalized sweep by hand = 0.4375 (our
+    # convention); pymoo's `Hypervolume(pf=front_true)` convention
+    # (unnormalized vs nadir) = 0.4375 * prod(nadir - ideal) = 7.0.
+    front = np.array([[0.0, 4.0], [1.0, 2.0], [3.0, 1.0], [4.0, 0.0]])
+    ours = hypervolume(front, front_true=front)
+    np.testing.assert_allclose(ours, 0.4375, rtol=1e-14)
+    pymoo_convention = hypervolume(front, ref_point=np.array([4.0, 4.0]))
+    np.testing.assert_allclose(pymoo_convention, 7.0, rtol=1e-14)
+    np.testing.assert_allclose(pymoo_convention, ours * 16.0, rtol=1e-14)
+
+
+def test_hypervolume_native_path_matches_oracle():
+    """>64 points routes through the C++ WFG kernel (metrics.py native
+    fast path); it must agree with the independent oracle too."""
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 1, size=(120, 3))
+    ref = np.array([1.1, 1.1, 1.1])
+    np.testing.assert_allclose(
+        hypervolume(pts, ref_point=ref), _oracle_hv_3d(pts, ref), rtol=1e-10
+    )

@@ -131,3 +131,32 @@ def test_all_failed_pair_rows_are_guarded(tmp_path):
     write_ab_csv(rows, out)
     line = out.read_text().strip()
     assert line.endswith(",,"), line
+
+
+def test_measured_times_and_x0_override():
+    """measure_times=True re-times each pair (positive measured seconds,
+    distinct from the modeled attribution path), and x0s= overrides the
+    sampled starts."""
+    import numpy as np
+
+    from zfista_tpu.bench.momentum_sweep import momentum_sweep
+    from zfista_tpu.models.zoo import JOS1
+
+    prob = JOS1(n_features=5)
+    x0s = np.linspace(-1.0, 2.0, 15).reshape(3, 5)
+    grid = [(0, 0.25), (0.5, 0.25)]
+    rows, res = momentum_sweep(
+        prob, -2, 4, n_starts=3, ab_grid=grid, x0s=x0s, measure_times=True,
+        max_iter=2000,
+    )
+    assert [r["error_rate"] for r in rows] == [0.0, 0.0]
+    for r in rows:
+        assert r["time"] is not None and r["time"] > 0
+    # x0s really used: the shared sweep's x0 field is the tiled override
+    np.testing.assert_allclose(np.asarray(res.x0)[:3], x0s)
+    # modeled fallback still works and differs in provenance
+    rows_m, _ = momentum_sweep(
+        prob, -2, 4, n_starts=3, ab_grid=grid, x0s=x0s, measure_times=False,
+        max_iter=2000,
+    )
+    assert [r["nit"] for r in rows_m] == [r["nit"] for r in rows]

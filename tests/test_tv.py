@@ -155,6 +155,10 @@ def test_tv_deblur_params_path_reuses_compiled_program():
     solve would (review finding: closure constants defeated the cache)."""
     from zfista_tpu.core import solver as S
 
+    # Count-based assertions need headroom below the FIFO cap: a full
+    # suite run can leave the shared cache at capacity, where inserting
+    # evicts and len() no longer moves.
+    S._DRIVER_CACHE.clear()
     truth, observed, kernel = _blurred_scene(size=32, seed=1)
     p1 = TVDeblur(observed, tv_ratio=1e-3, kernel=kernel, prox_iter=10)
     n_before = len(S._DRIVER_CACHE)
@@ -209,3 +213,54 @@ def test_prox_tv_dual0_warm_start_converges_faster():
     g_cold = float(tv_dual_gap(0.15, v2, u_cold, d_cold))
     g_warm = float(tv_dual_gap(0.15, v2, u_warm, d_warm))
     assert g_warm < 0.5 * g_cold, (g_warm, g_cold)
+
+
+def test_prox_tv_pallas_matches_xla():
+    """The VMEM-resident Pallas FGP kernel (interpret mode on CPU) must
+    match the XLA fori_loop to float-parity: same formulas, certified by
+    an equal dual gap.  Covers isotropic + anisotropic, cold + warm dual,
+    lam<=0 passthrough, and the over-VMEM fallback."""
+    from zfista_tpu.ops import tv_pallas
+    from zfista_tpu.ops.tv import prox_tv, tv_dual_gap
+
+    rng = np.random.default_rng(11)
+    v = jnp.asarray(rng.standard_normal((24, 40)), jnp.float32)
+    lam = jnp.asarray(0.15, jnp.float32)
+    for iso in (True, False):
+        u_x, d_x = prox_tv(lam, v, n_iter=25, isotropic=iso, return_dual=True)
+        u_p, d_p = prox_tv(
+            lam, v, n_iter=25, isotropic=iso, return_dual=True, method="pallas"
+        )
+        np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-6)
+        g_x = float(tv_dual_gap(lam, v, u_x, d_x, isotropic=iso))
+        g_p = float(tv_dual_gap(lam, v, u_p, d_p, isotropic=iso))
+        np.testing.assert_allclose(g_p, g_x, rtol=1e-4)
+        # warm start from the other method's dual
+        u_x2 = prox_tv(lam, v, n_iter=8, isotropic=iso, dual0=d_x)
+        u_p2 = prox_tv(
+            lam, v, n_iter=8, isotropic=iso, dual0=d_x, method="pallas"
+        )
+        np.testing.assert_allclose(np.asarray(u_p2), np.asarray(u_x2), atol=1e-6)
+    # lam = 0 passthrough
+    z = jnp.asarray(0.0, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(prox_tv(z, v, method="pallas")), np.asarray(v)
+    )
+    # VMEM capacity gate: images over budget report not-fitting (the prox
+    # falls back to the XLA loop, so results stay exact there)
+    assert tv_pallas.fits_vmem((256, 256), jnp.float32)
+    assert not tv_pallas.fits_vmem((2048, 2048), jnp.float32)
+    with pytest.raises(ValueError, match="method"):
+        prox_tv(lam, v, method="nope")
+
+
+def test_tv_deblur_pallas_prox_method():
+    """TVDeblur(prox_method='pallas') end-to-end matches the XLA prox."""
+    truth, observed, kernel = _blurred_scene(size=16, seed=3)
+    kw = dict(tv_ratio=1e-3, kernel=kernel, prox_iter=8)
+    r_x = TVDeblur(observed, **kw).solve(max_iter=20, tol=0.0)
+    r_p = TVDeblur(observed, prox_method="pallas", **kw).solve(
+        max_iter=20, tol=0.0
+    )
+    assert r_x.nit == r_p.nit == 20
+    np.testing.assert_allclose(r_p.x, r_x.x, atol=1e-5)

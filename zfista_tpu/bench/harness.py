@@ -47,6 +47,17 @@ VARIANTS = {
     "Accelerated (deprecated)": dict(nesterov=True, deprecated=True),
 }
 
+#: Extra variant for bounded problems: Nesterov with the momentum
+#: extrapolation projected back into the feasible box.  The reference's
+#: accelerated runs fail on EVERY ZDT1/SD-type solve (the unprojected
+#: y leaves dom(f): sqrt/reciprocal of negative values; this rebuild
+#: reproduces that failure bit-for-bit in the parity variants above) —
+#: this variant demonstrates acceleration converging on the same
+#: problems (see core.solver project_momentum).
+PROJECTED_VARIANT = {
+    "Accelerated (projected)": dict(nesterov=True, project_momentum=True),
+}
+
 
 def benchmark(
     problem: Problem,
@@ -66,8 +77,15 @@ def benchmark(
     """
     rng = np.random.default_rng(seed)
     x0s = rng.uniform(low, high, size=(n_samples, problem.n_features))
+    if variants is None:
+        variants = dict(VARIANTS)
+        if getattr(problem, "bounds", None) is not None:
+            # Bounded problems get the projected-momentum variant next to
+            # the three reference-parity rows (reference has no equivalent;
+            # its accelerated runs fail 100% on these problems).
+            variants.update(PROJECTED_VARIANT)
     out: dict[str, list[SolveResult]] = {}
-    for name, opts in (variants or VARIANTS).items():
+    for name, opts in variants.items():
         t0 = time.perf_counter()
         res = minimize_proximal_gradient_batch(
             problem.f,
@@ -90,6 +108,26 @@ def benchmark(
         )
         out[name] = res.to_list()
     return out
+
+
+def _canonical_config(cfg):
+    """Hashable, ``==``-safe canonical form of a run config: array-valued
+    kwargs (e.g. a per-problem l1_ratios vector) make a raw dict ``==``
+    raise "truth value of an array is ambiguous"."""
+
+    def canon(v):
+        if isinstance(v, dict):
+            return tuple(sorted((k, canon(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(canon(x) for x in v)
+        if isinstance(v, np.ndarray) or hasattr(v, "__jax_array__") or (
+            hasattr(v, "dtype") and hasattr(v, "shape")
+        ):
+            a = np.asarray(v)
+            return ("ndarray", a.shape, str(a.dtype), a.tobytes())
+        return v
+
+    return canon(cfg)
 
 
 def load_or_run_results(
@@ -116,7 +154,9 @@ def load_or_run_results(
         with open(path, "rb") as fh:
             payload = pickle.load(fh)
         if isinstance(payload, dict) and "results" in payload:
-            if payload.get("config") == config:
+            if _canonical_config(payload.get("config")) == _canonical_config(
+                config
+            ):
                 return payload["results"]
             warnings.warn(
                 f"cache for {problem.name} was recorded under different "

@@ -55,21 +55,42 @@ def momentum_sweep(
     seed: int = 42,
     max_iter: int = 10_000,
     lane_chunk: int | None = None,
+    x0s: np.ndarray | None = None,
+    measure_times: bool = True,
     **solver_kwargs,
 ):
     """Run the full (a, b) x starts grid as one batched solve.
 
     Returns ``(rows, result)`` where ``rows`` is a list of dicts
     ``{a, b, time, nit, error_rate}`` and ``result`` is the raw
-    :class:`~zfista_tpu.parallel.batch.BatchResult`.  ``time`` is a
-    MODELED per-pair attribution of the single shared wall clock
-    (proportional to mean iteration count), not a per-pair measurement —
-    the reference CSVs time each pair's process separately.  Pairs with no
-    successful start carry ``time=nit=None``.
+    :class:`~zfista_tpu.parallel.batch.BatchResult` of the shared sweep.
+
+    ``time`` semantics: with ``measure_times=True`` (default) each pair is
+    re-run as its OWN timed batch over the same starts after the shared
+    sweep, and ``time`` is the measured wall seconds divided by
+    ``n_starts`` — i.e. measured mean seconds per solve, the reference
+    CSVs' column semantics (examples/data/JOS1_ab.csv), amortized over the
+    vectorized batch.  The 15 timed batches share one compiled program
+    (batch driver cache), so the extra cost is ~the sweep time itself, not
+    15 compiles.  With ``measure_times=False``, ``time`` falls back to a
+    MODELED attribution of the single shared wall clock (proportional to
+    mean iteration count).  Pairs with no successful start carry
+    ``time=nit=None``.
+
+    ``x0s`` overrides the uniform-box start sampling with explicit starts
+    of shape ``(n_starts, n_features)`` (e.g. the deblurring example's
+    single deterministic start).
     """
     grid = ab_grid if ab_grid is not None else AB_GRID
-    rng = np.random.default_rng(seed)
-    x0s = rng.uniform(low, high, size=(n_starts, problem.n_features))
+    if x0s is None:
+        rng = np.random.default_rng(seed)
+        x0s = rng.uniform(low, high, size=(n_starts, problem.n_features))
+    else:
+        x0s = np.asarray(x0s)
+        if x0s.shape != (n_starts, problem.n_features):
+            raise ValueError(
+                f"x0s must be ({n_starts}, {problem.n_features}); got {x0s.shape}"
+            )
     # lanes = grid x starts (grid-major, so lane // n_starts indexes the pair)
     x0_lanes = np.tile(x0s, (len(grid), 1))
     ab_lanes = np.repeat(
@@ -164,19 +185,64 @@ def momentum_sweep(
 
     nit = np.asarray(res.nit).reshape(len(grid), n_starts)
     ok = np.asarray(res.success).reshape(len(grid), n_starts)
-    # Per-solve time ATTRIBUTION (an estimate, not a measurement): lanes run
-    # in lockstep until their own convergence, so a pair's share of the one
-    # shared wall clock is modeled as proportional to its mean iteration
-    # count.  The reference CSVs record measured per-process seconds
-    # instead; ratios between pairs are comparable, absolute values are an
-    # attribution model.  Pairs whose starts ALL fail get time=nit=None
-    # (error_rate=1) rather than NaN rows.
     n_ok = ok.sum(axis=1)
     sum_nit = np.where(ok, nit, 0).sum(axis=1)
     mean_nit = np.divide(
         sum_nit, n_ok, out=np.full(len(grid), np.nan), where=n_ok > 0
     )
-    denom = np.nansum(mean_nit)
+
+    if measure_times:
+        # MEASURED per-pair seconds: each pair re-run as its own timed
+        # batch over the same starts.  History/recording kwargs are
+        # stripped so the measurement times the solver, not host-side
+        # history collection.  All pairs share one compiled program (batch
+        # driver cache); an untimed warmup run pays the compile.
+        pair_kwargs = {
+            k: v
+            for k, v in solver_kwargs.items()
+            if k not in ("history", "record_vecs", "history_chunk")
+        }
+        chunk_sz = n_starts if lane_chunk is None else min(int(lane_chunk), n_starts)
+
+        def run_pair(a, b):
+            wall = 0.0
+            for s in range(0, n_starts, chunk_sz):
+                x0_c = x0s[s : s + chunk_sz]
+                pad = chunk_sz - len(x0_c)
+                if pad:
+                    x0_c = np.concatenate(
+                        [x0_c, np.repeat(x0_c[:1], pad, axis=0)]
+                    )
+                ab_c = np.repeat(
+                    np.asarray([[float(a), float(b)]]), chunk_sz, axis=0
+                )
+                t_start = time.perf_counter()
+                minimize_proximal_gradient_batch(
+                    problem.f,
+                    problem.g,
+                    problem.jac_f,
+                    problem.prox_wsum_g,
+                    x0_c,
+                    batch_nesterov_ratio=ab_c,
+                    max_iter=max_iter,
+                    **pair_kwargs,
+                )
+                wall += time.perf_counter() - t_start
+            return wall
+
+        run_pair(*grid[0])  # warmup: compile the per-pair program shape
+        measured_wall = [run_pair(a, b) for a, b in grid]
+        per_solve_time = [w / n_starts for w in measured_wall]
+    else:
+        # MODELED attribution of the single shared wall clock,
+        # proportional to mean iteration count (lanes run in lockstep, so
+        # no per-pair wall exists in the shared sweep).
+        denom = np.nansum(mean_nit)
+        per_solve_time = [
+            float(total * mean_nit[i] / denom) if n_ok[i] > 0 else None
+            for i in range(len(grid))
+        ]
+
     rows = []
     for i, (a, b) in enumerate(grid):
         failed_all = n_ok[i] == 0
@@ -184,11 +250,7 @@ def momentum_sweep(
             dict(
                 a=str(a),
                 b=str(b),
-                time=(
-                    None
-                    if failed_all
-                    else float(total * mean_nit[i] / denom)
-                ),
+                time=None if failed_all else float(per_solve_time[i]),
                 nit=None if failed_all else float(mean_nit[i]),
                 error_rate=float(1 - ok[i].mean()),
             )
@@ -200,9 +262,10 @@ def write_ab_csv(rows, path: Path) -> None:
     """Write the reference's CSV row format ``a ,b,time,nit``
     (examples/data/JOS1_ab.csv:1-15).
 
-    The ``time`` column is the attribution estimate produced by
-    :func:`momentum_sweep` (modeled share of one shared wall clock), not a
-    measured per-pair duration.  All-failed pairs write empty time/nit
+    The ``time`` column carries whatever :func:`momentum_sweep` produced:
+    measured mean seconds per solve with ``measure_times=True`` (the
+    reference CSVs' semantics), or the modeled shared-wall attribution
+    with ``measure_times=False``.  All-failed pairs write empty time/nit
     fields."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

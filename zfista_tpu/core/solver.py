@@ -480,6 +480,42 @@ def make_scan_driver(step: Callable[[State], State], max_iter: int, chunk: int):
 _DRIVER_CACHE: dict = {}
 
 
+class _IdKey:
+    """Identity-keyed cache-key wrapper: holds a strong reference, hashes
+    and compares by ``is``.  Guards the driver cache against user classes
+    with value-based ``__eq__``/``__hash__`` (two instances with different
+    data would otherwise alias one compiled program), and — because the
+    reference is strong — against id() reuse after garbage collection."""
+
+    __slots__ = ("obj",)
+
+    def __init__(self, obj: Any) -> None:
+        self.obj = obj
+
+    def __hash__(self) -> int:
+        return id(self.obj)
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _IdKey) and self.obj is other.obj
+
+
+def _callable_key(fn: Any) -> Any:
+    """Stable cache key for a problem callable.
+
+    Bound methods are keyed on ``(underlying function, instance identity)``
+    — attribute access creates a fresh method object per call, so keying on
+    the method itself would defeat the cache, while the method's own
+    ``__eq__`` delegates to the instance's (value-based for user classes).
+    Everything else is keyed on object identity."""
+    if fn is None:
+        return None
+    self_obj = getattr(fn, "__self__", None)
+    func = getattr(fn, "__func__", None)
+    if self_obj is not None and func is not None:
+        return (func, _IdKey(self_obj))
+    return _IdKey(fn)
+
+
 def _cached_driver(key: Any, build: Callable[[], Callable[..., Any]]) -> Callable[..., Any]:
     try:
         run = _DRIVER_CACHE.get(key)
@@ -513,23 +549,28 @@ def _device_scalar(v: Any, dtype: Any) -> Array:
     key = (float(v), str(dtype))
     arr = _SCALAR_CACHE.get(key)
     if arr is None:
-        if len(_SCALAR_CACHE) > 1024:
-            _SCALAR_CACHE.clear()
+        while len(_SCALAR_CACHE) > 1024:
+            # FIFO eviction, same rationale as _DRIVER_CACHE: keep the hot
+            # recent scalars, drop the oldest.
+            _SCALAR_CACHE.pop(next(iter(_SCALAR_CACHE)))
         arr = _SCALAR_CACHE[key] = jnp.asarray(v, dtype)
     return arr
+
+
+def _leaf_sig(leaf: Any) -> tuple:
+    # NOTE: getattr's default must not be evaluated eagerly —
+    # np.asarray on a globally-sharded (non-addressable) jax.Array raises.
+    dt = getattr(leaf, "dtype", None)
+    if dt is None:
+        dt = np.asarray(leaf).dtype
+    return (np.shape(leaf), str(dt))
 
 
 def _params_key(params: Any) -> Any:
     if params is None:
         return None
     leaves, treedef = jax.tree.flatten(params)
-    return (
-        treedef,
-        tuple(
-            (np.shape(leaf), str(getattr(leaf, "dtype", np.asarray(leaf).dtype)))
-            for leaf in leaves
-        ),
-    )
+    return (treedef, tuple(_leaf_sig(leaf) for leaf in leaves))
 
 
 def _bind_params(
@@ -618,6 +659,12 @@ def minimize_proximal_gradient(
     signature and defaults (reference: zfista/proximal_gradient.py:311-331).
     ``f``, ``g``, ``jac_f`` and ``prox_wsum_g`` must be JAX-traceable.
     ``jac_f=None`` derives the Jacobian by autodiff.
+
+    **Freeze contract**: the callables are assumed pure and frozen — repeat
+    solves with the same callables/shapes/options reuse one compiled
+    program, so data a callable closes over must not change between calls
+    (it is baked in at trace time; stale results otherwise).  Data that
+    varies between solves rides in ``params`` (a jit argument; see below).
 
     Returns a :class:`SolveResult` with fields
     ``x, fun, success, status, message, nit, nit_internal, time, weight``
@@ -719,10 +766,10 @@ def minimize_proximal_gradient(
         return _make_step(fv, gv, jacv, proxv, m, max_iter=max_iter, **opts)
 
     cache_key_base = (
-        f,
-        g,
-        jac_f,
-        prox_wsum_g,
+        _callable_key(f),
+        _callable_key(g),
+        _callable_key(jac_f),
+        _callable_key(prox_wsum_g),
         x0.shape,
         str(x0.dtype),
         _params_key(params),

@@ -130,8 +130,11 @@ def hypervolume(
        front (an axis-aligned affine rescaling).  Per-problem performance
        RATIOS between algorithms — the quantity the reference's benchmark
        reports and compares — are identical under either convention.
-       pymoo is not available in this build environment, so only ratio
-       parity is asserted (tests/test_metrics.py).
+       pymoo is not available in this build environment; ABSOLUTE values
+       are instead pinned against an independent exact algorithm (z-slice
+       sweep) and hand-computed golden constants under both conventions,
+       with the conversion factor asserted exactly
+       (tests/test_metrics.py::test_hypervolume_golden_constants).
     """
     F = np.atleast_2d(np.asarray(F, dtype=float))
     pts = extract_non_dominated_points(F)

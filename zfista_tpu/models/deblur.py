@@ -289,6 +289,7 @@ class TVDeblur:
         kernel: np.ndarray | None = None,
         prox_iter: int = 30,
         isotropic: bool = True,
+        prox_method: str = "xla",
     ) -> None:
         self.b = jnp.asarray(observed)
         if self.b.ndim != 2:
@@ -297,6 +298,9 @@ class TVDeblur:
         self.tv_ratio = float(tv_ratio)
         self.prox_iter = int(prox_iter)
         self.isotropic = bool(isotropic)
+        # "pallas" runs the FGP dual loop VMEM-resident per prox call
+        # (ops/tv_pallas; falls back to XLA above the VMEM budget).
+        self.prox_method = str(prox_method)
         self._blur = make_blur(self.kernel)
         self.n_objectives = 1
         self.n_features = int(self.b.shape[0] * self.b.shape[1])
@@ -322,6 +326,7 @@ class TVDeblur:
             self._image(x),
             n_iter=self.prox_iter,
             isotropic=self.isotropic,
+            method=self.prox_method,
         )
         return jnp.reshape(u, (-1,))
 
@@ -361,7 +366,10 @@ class TVDeblur:
                 p = (self.b, jnp.asarray(self.kernel, dt), lam)
             self._params = p
         fns = _tv_deblur_callables(
-            self.prox_iter, self.isotropic, separable=len(p) == 4
+            self.prox_iter,
+            self.isotropic,
+            separable=len(p) == 4,
+            prox_method=self.prox_method,
         )
         return minimize_proximal_gradient(*fns, x0, params=p, **kwargs)
 
@@ -402,6 +410,7 @@ class TVDeblur:
             int(max_iter),
             int(prox_iter),
             self.isotropic,
+            self.prox_method,
         )
         X, F, nit, err = jax.device_get((X, F, nit, err))
         return {
@@ -414,7 +423,8 @@ class TVDeblur:
 
 
 @partial(
-    jax.jit, static_argnames=("max_iter", "prox_iter", "isotropic")
+    jax.jit,
+    static_argnames=("max_iter", "prox_iter", "isotropic", "prox_method"),
 )
 def _tv_warm_driver(
     b: Array,
@@ -426,6 +436,7 @@ def _tv_warm_driver(
     max_iter: int,
     prox_iter: int,
     isotropic: bool,
+    prox_method: str = "xla",
 ):
     """Whole warm-dual TV-deblur solve as one XLA program.
 
@@ -463,6 +474,7 @@ def _tv_warm_driver(
             isotropic=isotropic,
             return_dual=True,
             dual0=(pd, qd),
+            method=prox_method,
         )
         err = jnp.max(jnp.abs(x_new - y))
         t_new = jnp.sqrt(t * t + 0.25) + 0.5
@@ -483,8 +495,10 @@ def _tv_warm_driver(
 _TV_CALLABLES: dict = {}
 
 
-def _tv_deblur_callables(prox_iter: int, isotropic: bool, separable: bool):
-    key = (int(prox_iter), bool(isotropic), bool(separable))
+def _tv_deblur_callables(
+    prox_iter: int, isotropic: bool, separable: bool, prox_method: str = "xla"
+):
+    key = (int(prox_iter), bool(isotropic), bool(separable), str(prox_method))
     fns = _TV_CALLABLES.get(key)
     if fns is not None:
         return fns

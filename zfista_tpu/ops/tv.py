@@ -62,7 +62,9 @@ def tv2d(u: Array, isotropic: bool = True) -> Array:
     return jnp.sum(jnp.abs(px)) + jnp.sum(jnp.abs(py))
 
 
-@partial(jax.jit, static_argnames=("n_iter", "isotropic", "return_dual"))
+@partial(
+    jax.jit, static_argnames=("n_iter", "isotropic", "return_dual", "method")
+)
 def prox_tv(
     lam: Array,
     v: Array,
@@ -70,6 +72,7 @@ def prox_tv(
     isotropic: bool = True,
     return_dual: bool = False,
     dual0: tuple[Array, Array] | None = None,
+    method: str = "xla",
 ) -> Array | tuple[Array, tuple[Array, Array]]:
     r"""Prox of ``lam * TV``: ``argmin_u 0.5 ||u - v||^2 + lam TV(u)``.
 
@@ -89,8 +92,41 @@ def prox_tv(
     nearly identical inputs): FGP restarts its momentum but resumes from
     the given feasible point, typically reaching a given gap in a small
     fraction of the cold-start budget.
+
+    ``method="pallas"`` runs the dual loop as a single Pallas TPU kernel
+    with every field VMEM-resident across all ``n_iter`` iterations
+    (:mod:`zfista_tpu.ops.tv_pallas`) — the XLA ``fori_loop`` round-trips
+    the carry through HBM each iteration.  Images that exceed the VMEM
+    budget (~512x512 float32) and non-TPU backends fall back to the XLA
+    loop (on CPU the kernel runs interpreted: correct but slow, so the
+    fallback is also the fast path there).  Same math, NOT bitwise
+    (different FMA scheduling); parity is pinned to ~1e-6 by tests.
     """
     lam = jnp.asarray(lam, v.dtype)
+    if method not in ("xla", "pallas"):
+        raise ValueError(f"method must be 'xla' or 'pallas'; got {method!r}")
+    if method == "pallas":
+        from zfista_tpu.ops import tv_pallas
+
+        if tv_pallas.fits_vmem(v.shape, v.dtype):
+            if dual0 is None:
+                p00 = q00 = jnp.zeros_like(v)
+            else:
+                p00, q00 = dual0
+            u_k, p_k, q_k = tv_pallas.fgp_pallas(
+                lam,
+                v,
+                p00,
+                q00,
+                n_iter=n_iter,
+                isotropic=isotropic,
+                interpret=jax.default_backend() != "tpu",
+            )
+            u_k = jnp.where(lam > 0, u_k, v)
+            if return_dual:
+                return u_k, (p_k, q_k)
+            return u_k
+        # falls through: too large for all-VMEM residency -> XLA loop
     safe = jnp.maximum(lam, jnp.asarray(jnp.finfo(v.dtype).tiny, v.dtype))
     step = 1.0 / (8.0 * safe)
 

@@ -45,8 +45,11 @@ from zfista_tpu.core.result import TERMINATION_MESSAGES, SolveResult
 from zfista_tpu.core.solver import (
     State,
     _active,
+    _cached_driver,
+    _callable_key,
     _make_step,
     _normalize_problem,
+    _params_key,
     init_state,
 )
 
@@ -102,7 +105,16 @@ class BatchResult(SolveResult):
                 r.allfuns += [float(v[0]) if scalar else v for v in funs]
                 r.allerrs = list(np.asarray(self.allerrs[i])[mask])
                 if self.get("allvecs") is not None:
-                    r.allvecs = [np.asarray(self.x0[i])] + list(
+                    # History head: the iterate the run actually started
+                    # from — x0 for fresh solves, the resume iterate for
+                    # initial_states runs (so the head pair matches
+                    # allfuns[0]/F0, mirroring the single-solve path).
+                    head = (
+                        np.asarray(self.vec_head[i])
+                        if self.get("vec_head") is not None
+                        else np.asarray(self.x0[i])
+                    )
+                    r.allvecs = [head] + list(
                         np.asarray(self.allvecs[i])[mask]
                     )
             out.append(r)
@@ -175,6 +187,12 @@ def minimize_proximal_gradient_batch(
     ``history_chunk x B x n`` floats per device chunk.
 
     Returns a :class:`BatchResult`; per-solve views via ``.to_list()``.
+
+    **Freeze contract** (same as the single-solve facade): repeat batch
+    solves with the same callables, shapes and options reuse one compiled
+    program, so the callables must be pure and frozen — per-solve data
+    rides in ``x0s``/``batch_params``/``batch_nesterov_ratio``, never in
+    mutated closures.
     """
     start = _time.perf_counter()
     x0s = jnp.asarray(x0s)
@@ -294,7 +312,30 @@ def minimize_proximal_gradient_batch(
         init_args = (x0s,)
         run_step = lambda s, ab: vstep(s, ab)
         step_args = (ab_arr,)
-    vinit_j = jax.jit(vinit)
+
+    # Compiled-driver cache (same design + freeze contract as the
+    # single-solve facade, core.solver._DRIVER_CACHE): repeat batch solves
+    # with the same callables/shapes/options reuse one traced+compiled
+    # program instead of retracing per call — retracing a 1000-lane vmapped
+    # while_loop costs seconds on the host, and per-pair timed sweeps
+    # (bench.momentum_sweep measure_times) would otherwise recompile 15x.
+    cache_key_base = (
+        "batch",
+        _callable_key(f),
+        _callable_key(g),
+        _callable_key(jac_f),
+        _callable_key(prox_wsum_g),
+        x0s.shape,
+        str(x0s.dtype),
+        _params_key(batch_params),
+        has_ab,
+        tuple(sorted(static.items())),
+        max_iter,
+        in_sharding,
+    )
+    vinit_j = _cached_driver(
+        ("init",) + cache_key_base, lambda: jax.jit(vinit)
+    )
 
     def finalize_F(states: State) -> State:
         """Recompute F(x) for skip_F runs (one batched eval; vinit already
@@ -320,18 +361,26 @@ def minimize_proximal_gradient_batch(
             )
         chunk = int(history_chunk)
 
-        @jax.jit
-        def run_chunk(states: State, *sa):
-            def masked_scan_step(states: State, _):
-                active = jax.vmap(partial(_active, max_iter=max_iter))(states)
-                new = run_step(states, *sa)
-                rec = active & ~new.failed
-                out = (new.F_x, new.err, rec)
-                if record_vecs:
-                    out = out + (new.x,)
-                return new, out
+        def build_hist_chunk():
+            def run_chunk(states: State, *sa):
+                def masked_scan_step(states: State, _):
+                    active = jax.vmap(partial(_active, max_iter=max_iter))(
+                        states
+                    )
+                    new = run_step(states, *sa)
+                    rec = active & ~new.failed
+                    out = (new.F_x, new.err, rec)
+                    if record_vecs:
+                        out = out + (new.x,)
+                    return new, out
 
-            return lax.scan(masked_scan_step, states, None, length=chunk)
+                return lax.scan(masked_scan_step, states, None, length=chunk)
+
+            return jax.jit(run_chunk)
+
+        run_chunk = _cached_driver(
+            ("hist", chunk, record_vecs) + cache_key_base, build_hist_chunk
+        )
 
         states = (
             initial_states
@@ -341,6 +390,13 @@ def minimize_proximal_gradient_batch(
         # Initial value F(x0) (or the resume point's value): prepended to
         # each lane's history by ``to_list`` for reference return_all parity.
         F0_all = _host_array(states.F_x)
+        # Matching history-head iterate for allvecs (resume runs start from
+        # states.x, not x0s; fresh runs leave this None -> to_list uses x0).
+        vec_head = (
+            _host_array(states.x)
+            if (record_vecs and initial_states is not None)
+            else None
+        )
         f_hist, e_hist, m_hist, x_hist = [], [], [], []
         while True:
             states, outs = run_chunk(states, *step_args)
@@ -370,11 +426,14 @@ def minimize_proximal_gradient_batch(
             # the single-kernel path (frozen lanes no-op).
             K = int(iter_chunk)
 
-            @jax.jit
-            def run_chunk(states, *sa):
-                return lax.fori_loop(
-                    0, K, lambda _, s: run_step(s, *sa), states
-                )
+            run_chunk = _cached_driver(
+                ("iterchunk", K) + cache_key_base,
+                lambda: jax.jit(
+                    lambda states, *sa: lax.fori_loop(
+                        0, K, lambda _, s: run_step(s, *sa), states
+                    )
+                ),
+            )
 
             states = (
                 initial_states
@@ -431,14 +490,27 @@ def minimize_proximal_gradient_batch(
         # Init + while-loop + final-F as ONE jitted program (fresh solves)
         # — a single device dispatch per batch solve; round trips are
         # ~tens of ms each on remote backends (see core.solver).
-        @jax.jit
-        def run_full(x0s_in, *sa):
-            states = vinit(x0s_in, sa[0]) if has_params else vinit(x0s_in)
-            return traced_finalize(drive(states, *sa), *sa)
+        def build_run_full():
+            def run_full(x0s_in, *sa):
+                states = (
+                    vinit(x0s_in, sa[0]) if has_params else vinit(x0s_in)
+                )
+                return traced_finalize(drive(states, *sa), *sa)
 
-        @jax.jit
-        def run_resume(states, *sa):
-            return traced_finalize(drive(states, *sa), *sa)
+            return jax.jit(run_full)
+
+        def build_run_resume():
+            return jax.jit(
+                lambda states, *sa: traced_finalize(drive(states, *sa), *sa)
+            )
+
+        run_full = _cached_driver(
+            ("while", check_every, "full") + cache_key_base, build_run_full
+        )
+        run_resume = _cached_driver(
+            ("while", check_every, "resume") + cache_key_base,
+            build_run_resume,
+        )
 
         if initial_states is not None:
             states = jax.block_until_ready(
@@ -448,6 +520,7 @@ def minimize_proximal_gradient_batch(
             states = jax.block_until_ready(run_full(x0s, *step_args))
         allfuns = allerrs = hist_mask = allvecs = None
         F0_all = None
+        vec_head = None
 
     elapsed = _time.perf_counter() - start
     return _pack_result(
@@ -465,6 +538,7 @@ def minimize_proximal_gradient_batch(
         keep_state,
         allvecs=allvecs,
         F0=F0_all,
+        vec_head=vec_head,
     )
 
 
@@ -483,6 +557,7 @@ def _pack_result(
     keep_state,
     allvecs=None,
     F0=None,
+    vec_head=None,
 ) -> BatchResult:
     converged = _host_array(states.converged)
     failed = _host_array(states.failed)
@@ -515,6 +590,8 @@ def _pack_result(
         res.F0 = F0
         if allvecs is not None:
             res.allvecs = allvecs
+            if vec_head is not None:
+                res.vec_head = vec_head
     if keep_state:
         # Resumable batched carry (utils.checkpoint round-trips it; pass
         # back via initial_states to continue bitwise-identically).  Costs
