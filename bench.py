@@ -172,10 +172,13 @@ def _probe_backend_once(timeout_s: int) -> str | None:
     return None
 
 
-def _probe_backend(attempt_timeouts=(90, 90, 90), backoffs=(10, 20)) -> str | None:
+def _probe_backend(attempt_timeouts=(40, 80, 160), backoffs=(10, 10)) -> str | None:
     """Probe with retries + backoff inside a ~300 s total budget: tunnel
     outages are often transient, so one failed probe should not forfeit the
-    whole benchmark record."""
+    whole benchmark record.  Timeouts ESCALATE (40 -> 160 s): the first
+    attempt answers fast when the backend is up and healthy; the last one
+    tolerates a slow-but-alive backend init without eating the budget on
+    every attempt."""
     err = None
     for i, t in enumerate(attempt_timeouts):
         err = _probe_backend_once(t)

@@ -255,3 +255,23 @@ def test_batch_resume_history_head(toy_lasso):
         np.testing.assert_allclose(r.allfuns[0], F_head, rtol=1e-6)
         # x0 after 4 iterations has moved, so the head is NOT x0
         assert not np.array_equal(head, np.asarray(x0s[i]))
+
+
+def test_batch_cache_differentiates_lr(toy_lasso):
+    """Two batched solves identical except for ``lr`` must NOT share a
+    compiled program: lr is baked into the init closure (not a program
+    argument), so omitting it from the driver-cache key silently reused
+    the first call's lr for the second (round-3 review finding)."""
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    x0s = jnp.array([[0.0], [2.0]])
+    kw = dict(nesterov=False, tol=0.0, max_iter=3)
+    r1 = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, lr=0.4, **kw
+    )
+    r2 = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, lr=0.004, **kw
+    )
+    np.testing.assert_allclose(np.asarray(r2.lr), 0.004, rtol=1e-6)
+    # 3 fixed-lr ISTA steps from x0=2 move very differently at 0.4 vs 0.004
+    assert not np.allclose(np.asarray(r1.x), np.asarray(r2.x))

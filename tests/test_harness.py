@@ -51,8 +51,15 @@ def test_benchmark_and_metrics_cell(tmp_path):
         "Avg iterations",
         "Avg internal iterations",
     }
-    # cache hit: second call returns identical payload without re-solving
-    again = load_or_run_results(prob, -2, 4, tmp_path, n_samples=4)
+    # cache hit: an identically-configured second call returns the stored
+    # payload without re-solving (and without the different-settings warning)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        again = load_or_run_results(
+            prob, -2, 4, tmp_path, n_samples=4, max_iter=2000, history=False
+        )
     np.testing.assert_array_equal(
         again["Normal"][0].x, results["Normal"][0].x
     )

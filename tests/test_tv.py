@@ -216,10 +216,12 @@ def test_prox_tv_dual0_warm_start_converges_faster():
 
 
 def test_prox_tv_pallas_matches_xla():
-    """The VMEM-resident Pallas FGP kernel (interpret mode on CPU) must
-    match the XLA fori_loop to float-parity: same formulas, certified by
-    an equal dual gap.  Covers isotropic + anisotropic, cold + warm dual,
-    lam<=0 passthrough, and the over-VMEM fallback."""
+    """The VMEM-resident Pallas FGP kernel (forced through the Pallas
+    interpreter on CPU via method="pallas_interpret") must match the XLA
+    fori_loop to float-parity: same formulas, certified by an equal dual
+    gap.  Covers isotropic + anisotropic, cold + warm dual, lam<=0
+    passthrough, the over-VMEM fallback, and the off-TPU fallback of
+    method="pallas" itself (bitwise the XLA loop here)."""
     from zfista_tpu.ops import tv_pallas
     from zfista_tpu.ops.tv import prox_tv, tv_dual_gap
 
@@ -229,7 +231,12 @@ def test_prox_tv_pallas_matches_xla():
     for iso in (True, False):
         u_x, d_x = prox_tv(lam, v, n_iter=25, isotropic=iso, return_dual=True)
         u_p, d_p = prox_tv(
-            lam, v, n_iter=25, isotropic=iso, return_dual=True, method="pallas"
+            lam,
+            v,
+            n_iter=25,
+            isotropic=iso,
+            return_dual=True,
+            method="pallas_interpret",
         )
         np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-6)
         g_x = float(tv_dual_gap(lam, v, u_x, d_x, isotropic=iso))
@@ -238,14 +245,20 @@ def test_prox_tv_pallas_matches_xla():
         # warm start from the other method's dual
         u_x2 = prox_tv(lam, v, n_iter=8, isotropic=iso, dual0=d_x)
         u_p2 = prox_tv(
-            lam, v, n_iter=8, isotropic=iso, dual0=d_x, method="pallas"
+            lam, v, n_iter=8, isotropic=iso, dual0=d_x,
+            method="pallas_interpret",
         )
         np.testing.assert_allclose(np.asarray(u_p2), np.asarray(u_x2), atol=1e-6)
     # lam = 0 passthrough
     z = jnp.asarray(0.0, jnp.float32)
     np.testing.assert_array_equal(
-        np.asarray(prox_tv(z, v, method="pallas")), np.asarray(v)
+        np.asarray(prox_tv(z, v, method="pallas_interpret")), np.asarray(v)
     )
+    # method="pallas" on a non-TPU backend falls back to the XLA loop
+    # (documented contract) — bitwise identical to method="xla" here.
+    u_fb = prox_tv(lam, v, n_iter=25, method="pallas")
+    u_ref = prox_tv(lam, v, n_iter=25)
+    np.testing.assert_array_equal(np.asarray(u_fb), np.asarray(u_ref))
     # VMEM capacity gate: images over budget report not-fitting (the prox
     # falls back to the XLA loop, so results stay exact there)
     assert tv_pallas.fits_vmem((256, 256), jnp.float32)
@@ -255,12 +268,23 @@ def test_prox_tv_pallas_matches_xla():
 
 
 def test_tv_deblur_pallas_prox_method():
-    """TVDeblur(prox_method='pallas') end-to-end matches the XLA prox."""
+    """TVDeblur(prox_method=...) reaches prox_tv on the main solve path:
+    the interpreted kernel end-to-end matches the XLA prox (non-vacuous:
+    the kernel is counted, not assumed)."""
+    from unittest import mock
+
+    from zfista_tpu.ops import tv_pallas
+
     truth, observed, kernel = _blurred_scene(size=16, seed=3)
     kw = dict(tv_ratio=1e-3, kernel=kernel, prox_iter=8)
     r_x = TVDeblur(observed, **kw).solve(max_iter=20, tol=0.0)
-    r_p = TVDeblur(observed, prox_method="pallas", **kw).solve(
-        max_iter=20, tol=0.0
-    )
+    real = tv_pallas.fgp_pallas
+    with mock.patch.object(
+        tv_pallas, "fgp_pallas", side_effect=real
+    ) as spy:
+        r_p = TVDeblur(observed, prox_method="pallas_interpret", **kw).solve(
+            max_iter=20, tol=0.0
+        )
+    assert spy.call_count > 0, "solve() never reached the Pallas kernel"
     assert r_x.nit == r_p.nit == 20
     np.testing.assert_allclose(r_p.x, r_x.x, atol=1e-5)

@@ -59,6 +59,19 @@ PROJECTED_VARIANT = {
 }
 
 
+def _effective_variants(problem: Problem, variants: dict | None) -> dict:
+    """The variant set a run actually executes: a non-empty caller dict
+    as-is; otherwise the three reference-parity variants, plus the
+    projected-momentum variant for bounded problems (reference has no
+    equivalent; its accelerated runs fail 100% on these problems)."""
+    if variants:
+        return dict(variants)
+    out = dict(VARIANTS)
+    if getattr(problem, "bounds", None) is not None:
+        out.update(PROJECTED_VARIANT)
+    return out
+
+
 def benchmark(
     problem: Problem,
     low,
@@ -77,13 +90,7 @@ def benchmark(
     """
     rng = np.random.default_rng(seed)
     x0s = rng.uniform(low, high, size=(n_samples, problem.n_features))
-    if variants is None:
-        variants = dict(VARIANTS)
-        if getattr(problem, "bounds", None) is not None:
-            # Bounded problems get the projected-momentum variant next to
-            # the three reference-parity rows (reference has no equivalent;
-            # its accelerated runs fail 100% on these problems).
-            variants.update(PROJECTED_VARIANT)
+    variants = _effective_variants(problem, variants)
     out: dict[str, list[SolveResult]] = {}
     for name, opts in variants.items():
         t0 = time.perf_counter()
@@ -150,6 +157,11 @@ def load_or_run_results(
     cache_dir.mkdir(parents=True, exist_ok=True)
     path = cache_dir / f"{problem.name}.pkl"
     config = {"low": low, "high": high, **kwargs}
+    # Record the EFFECTIVE variant set, not just the caller's kwargs: the
+    # default set depends on the problem (bounded cells add the projected
+    # variant), so a cache recorded before a variant-set change must
+    # invalidate rather than silently serve rows that miss new variants.
+    config["variants"] = _effective_variants(problem, kwargs.get("variants"))
     if path.exists() and not overwrite:
         with open(path, "rb") as fh:
             payload = pickle.load(fh)

@@ -200,8 +200,12 @@ def momentum_sweep(
         pair_kwargs = {
             k: v
             for k, v in solver_kwargs.items()
-            if k not in ("history", "record_vecs", "history_chunk")
+            if k not in ("history", "record_vecs", "history_chunk", "keep_state")
         }
+        # keep_state=True (the default) copies the full per-lane State
+        # (x and y for every lane) device->host inside the timed window —
+        # solver time only, so drop it from the measurement.
+        pair_kwargs["keep_state"] = False
         chunk_sz = n_starts if lane_chunk is None else min(int(lane_chunk), n_starts)
 
         def run_pair(a, b):

@@ -52,6 +52,10 @@ def main(argv=None) -> None:
 
     backend = jax.default_backend()
     interpret = backend != "tpu"
+    # Off-TPU, method="pallas" falls back to the XLA loop (so timing it
+    # would compare XLA against itself); force the interpreter instead so
+    # the kernel actually runs — labelled, and never a perf claim.
+    kernel_method = "pallas_interpret" if interpret else "pallas"
     print(f"backend: {backend} (pallas interpret={interpret})")
 
     rng = np.random.default_rng(0)
@@ -82,7 +86,7 @@ def main(argv=None) -> None:
         t_x = _time_best(chained("xla"), args.repeats)
         row = f"{size:>6} {str(fits):>5} {1e3 * t_x / calls:>12.3f}"
         if fits:
-            t_p = _time_best(chained("pallas"), args.repeats)
+            t_p = _time_best(chained(kernel_method), args.repeats)
             row += f" {1e3 * t_p / calls:>15.3f} {t_x / t_p:>8.2f}x"
         else:
             row += f" {'(xla fallback)':>15} {'-':>8}"
@@ -101,7 +105,7 @@ def main(argv=None) -> None:
 
     print(f"\n== nested: TVDeblur.solve_warm {size}x{size}, "
           f"max_iter={args.deblur_iters}, prox_iter=8 ==")
-    for method in ("xla", "pallas"):
+    for method in ("xla", kernel_method):
         prob = TVDeblur(
             observed, tv_ratio=1e-3, kernel=kernel, prox_method=method
         )

@@ -299,7 +299,9 @@ class TVDeblur:
         self.prox_iter = int(prox_iter)
         self.isotropic = bool(isotropic)
         # "pallas" runs the FGP dual loop VMEM-resident per prox call
-        # (ops/tv_pallas; falls back to XLA above the VMEM budget).
+        # (ops/tv_pallas; falls back to XLA above the VMEM budget and on
+        # non-TPU backends; "pallas_interpret" forces the interpreted
+        # kernel anywhere — the CPU test path, never for real work).
         self.prox_method = str(prox_method)
         self._blur = make_blur(self.kernel)
         self.n_objectives = 1
@@ -547,6 +549,7 @@ def _tv_deblur_callables(
             jnp.reshape(x, b.shape),
             n_iter=prox_iter,
             isotropic=isotropic,
+            method=prox_method,
         )
         return jnp.reshape(u, (-1,))
 

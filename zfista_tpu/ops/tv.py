@@ -98,14 +98,23 @@ def prox_tv(
     (:mod:`zfista_tpu.ops.tv_pallas`) — the XLA ``fori_loop`` round-trips
     the carry through HBM each iteration.  Images that exceed the VMEM
     budget (~512x512 float32) and non-TPU backends fall back to the XLA
-    loop (on CPU the kernel runs interpreted: correct but slow, so the
-    fallback is also the fast path there).  Same math, NOT bitwise
-    (different FMA scheduling); parity is pinned to ~1e-6 by tests.
+    loop.  ``method="pallas_interpret"`` forces the kernel through the
+    Pallas interpreter on any backend — the CPU test/debug path (orders
+    of magnitude slower than XLA; never use it for real work).  Same
+    math, NOT bitwise (different FMA scheduling); parity is pinned to
+    ~1e-6 by tests.
     """
     lam = jnp.asarray(lam, v.dtype)
-    if method not in ("xla", "pallas"):
-        raise ValueError(f"method must be 'xla' or 'pallas'; got {method!r}")
-    if method == "pallas":
+    if method not in ("xla", "pallas", "pallas_interpret"):
+        raise ValueError(
+            "method must be 'xla', 'pallas' or 'pallas_interpret'; "
+            f"got {method!r}"
+        )
+    interpret = method == "pallas_interpret"
+    use_kernel = interpret or (
+        method == "pallas" and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
         from zfista_tpu.ops import tv_pallas
 
         if tv_pallas.fits_vmem(v.shape, v.dtype):
@@ -120,7 +129,7 @@ def prox_tv(
                 q00,
                 n_iter=n_iter,
                 isotropic=isotropic,
-                interpret=jax.default_backend() != "tpu",
+                interpret=interpret,
             )
             u_k = jnp.where(lam > 0, u_k, v)
             if return_dual:

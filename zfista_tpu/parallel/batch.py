@@ -332,6 +332,11 @@ def minimize_proximal_gradient_batch(
         tuple(sorted(static.items())),
         max_iter,
         in_sharding,
+        # lr is baked into the lane_init closure (init_state's starting
+        # stepsize), not passed as a program argument — omitting it here
+        # silently reused the first call's compiled program (and its lr)
+        # for a later solve with a different lr.
+        float(lr),
     )
     vinit_j = _cached_driver(
         ("init",) + cache_key_base, lambda: jax.jit(vinit)
