@@ -195,3 +195,21 @@ def test_projected_variant_added_for_bounded_problems():
         JOS1(n_features=5), -2.0, 4.0, n_samples=2, max_iter=500, history=False
     )
     assert set(plain) == {"Normal", "Accelerated", "Accelerated (deprecated)"}
+
+
+def test_gap_bench_tiny():
+    """Wall-to-gap harness: finds per-target iteration counts and times
+    them, host-f64 gap decisions (tiny overdetermined LASSO, CPU)."""
+    from zfista_tpu.bench.gap_bench import run as gap_run
+
+    rec = gap_run(
+        m=160, n=64, targets=(1e-6, 1e-8), chunk=16, unroll=4,
+        repeats=1, max_chunks=48,
+    )
+    rows = {r["target"]: r for r in rec["rows"]}
+    assert rows[1e-6]["iterations"] is not None
+    assert rows[1e-8]["iterations"] is not None
+    # tighter target can never need fewer iterations
+    assert rows[1e-8]["iterations"] >= rows[1e-6]["iterations"]
+    for r in rows.values():
+        assert r["raw_s"] > 0 and r["public_s"] > 0
