@@ -11,7 +11,10 @@ import os
 # Force CPU even when the session environment points JAX at a real TPU.
 # The TPU sitecustomize hook registers its PJRT plugin at interpreter start
 # and rewrites jax_platforms, so the env var alone is not enough — the
-# config must be overridden after import as well.
+# config must be overridden after import as well.  (Deliberately NOT
+# zfista_tpu.utils.platform.force_platform: importing the package would
+# import jax before the environment is set; non-test call sites use the
+# shared helper.)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -230,3 +230,31 @@ def test_hypervolume_native_path_matches_oracle():
     np.testing.assert_allclose(
         hypervolume(pts, ref_point=ref), _oracle_hv_3d(pts, ref), rtol=1e-10
     )
+
+
+def test_calculate_metrics_tolerates_nonfinite_runs():
+    """One diverged (NaN) or infeasible (+inf) run must not poison the
+    pooled front: previously a single NaN row made the normalization
+    scale NaN and silently zeroed EVERY algorithm's hypervolume
+    (round-3 review finding)."""
+    mk = lambda fun, ok=True: SolveResult(
+        fun=np.array(fun), success=ok, time=1.0, nit=5, nit_internal=5
+    )
+    good = [
+        mk([1.0, 0.0]),
+        mk([0.0, 1.0]),
+        mk([0.5, 0.5]),
+    ]
+    bad_nan = good[:2] + [mk([np.nan, np.nan], ok=False)]
+    bad_inf = good[:2] + [mk([np.inf, 0.25], ok=False)]
+    base, _ = calculate_metrics(("A", good))
+    for spoiled in (bad_nan, bad_inf):
+        m, _ = calculate_metrics(("A", good), ("B", spoiled))
+        assert m["Hypervolume"]["A"] > 0.0
+        assert m["Hypervolume"]["A"] == pytest.approx(
+            base["Hypervolume"]["A"]
+        )
+    # all-non-finite everywhere: defined NaN outputs, no crash
+    allbad = [mk([np.nan, np.nan], ok=False)]
+    m, r = calculate_metrics(("A", allbad))
+    assert np.isnan(m["Hypervolume"]["A"])

@@ -102,3 +102,34 @@ def test_native_nd_mask_inf_objectives():
                     break
         return out
     np.testing.assert_array_equal(mask, brute(F))
+
+
+def test_nd_mask_tied_sums_inf_and_nan():
+    """Round-3 review regressions: (1) a dominating pair whose objective
+    SUMS tie (shared +inf coordinate) must still be detected — the
+    sum-sorted prefix scan used to skip the whole tie block; (2) NaN rows
+    follow numpy semantics (kept, never dominating) without feeding NaN
+    into the sort comparator (UB)."""
+    # minimal reproducer from the review: row 1 dominates row 0, sums tie
+    F = np.array([[2.0, 3.0, np.inf], [1.0, 2.0, np.inf]])
+    np.testing.assert_array_equal(nd_mask_native(F), [False, True])
+    # same in 2-D (the m=2 fast path groups equal f1 explicitly)
+    F2 = np.array([[1.0, np.inf], [1.0, 2.0]])
+    np.testing.assert_array_equal(nd_mask_native(F2), _numpy_nd_mask(F2))
+    # NaN rows: kept, never dominate, never dominated (numpy semantics)
+    for m in (2, 3):
+        rng = np.random.default_rng(7)
+        F = rng.uniform(0, 1, size=(40, m))
+        F[3, 0] = np.nan
+        F[17, -1] = np.nan
+        np.testing.assert_array_equal(nd_mask_native(F), _numpy_nd_mask(F))
+    # fuzz: random fronts with inf coordinates sprinkled in (tied sums)
+    rng = np.random.default_rng(8)
+    for m in (2, 3, 4):
+        for _ in range(25):
+            F = rng.uniform(0, 1, size=(30, m))
+            mask_inf = rng.random(size=F.shape) < 0.2
+            F[mask_inf] = np.inf
+            np.testing.assert_array_equal(
+                nd_mask_native(F), _numpy_nd_mask(F)
+            )

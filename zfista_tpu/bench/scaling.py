@@ -144,22 +144,12 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     counts = [int(c) for c in args.devices.split(",")]
     if args.platform:
-        import os
+        from zfista_tpu.utils.platform import force_platform
 
-        os.environ["JAX_PLATFORMS"] = args.platform
-        if args.platform == "cpu":
-            # Virtual CPU devices are the documented stand-in; without the
-            # flag the host exposes ONE device and every multi-device row
-            # fails.  Must be set before jax initializes its backends.
-            flags = os.environ.get("XLA_FLAGS", "")
-            if "xla_force_host_platform_device_count" not in flags:
-                os.environ["XLA_FLAGS"] = (
-                    f"{flags} --xla_force_host_platform_device_count="
-                    f"{max(counts)}"
-                ).strip()
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
+        # Virtual CPU devices are the documented multi-device stand-in;
+        # without the count flag the host exposes ONE device and every
+        # multi-device row fails.
+        force_platform(args.platform, n_devices=max(counts))
     rows = weak_scaling(
         device_counts=counts,
         lanes_per_device=args.lanes_per_device,

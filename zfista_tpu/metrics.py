@@ -249,9 +249,20 @@ def calculate_metrics(
        a per-solve measurement like the reference's per-process timing.
     """
     names, results = zip(*named_results)
-    fronts = [
-        extract_non_dominated_points(extract_function_values(r)) for r in results
-    ]
+    # Deliberate divergence from the reference (tracked): rows with a
+    # non-finite objective (a diverged/NaN lane, or an indicator-g +inf)
+    # are dropped before front pooling.  One NaN row would otherwise
+    # poison the pooled front's ideal/nadir and silently zero EVERY
+    # algorithm's hypervolume; one +inf row makes the normalization scale
+    # infinite with the same effect.  (The reference pools unfiltered and
+    # inherits exactly this failure through pymoo's normalization.)
+    def _finite_front(r):
+        vals = extract_function_values(r)
+        return extract_non_dominated_points(
+            vals[np.isfinite(vals).all(axis=1)]
+        )
+
+    fronts = [_finite_front(r) for r in results]
     front_true = extract_non_dominated_points(np.concatenate(fronts, axis=0))
     true_set = {tuple(p) for p in front_true}
 
@@ -264,9 +275,16 @@ def calculate_metrics(
             np.array(uniq) if uniq else np.empty((0, front_true.shape[1]))
         )
 
-    hvs = [hypervolume(front, front_true=front_true) for front in fronts]
-    purities = [purity(i, front_true) for i in intersections]
-    spreads = [spread_metrics(i, front_true) for i in intersections]
+    if len(front_true):
+        hvs = [hypervolume(front, front_true=front_true) for front in fronts]
+        purities = [purity(i, front_true) for i in intersections]
+        spreads = [spread_metrics(i, front_true) for i in intersections]
+    else:
+        # every run of every algorithm produced a non-finite objective:
+        # no front exists to measure against
+        hvs = [np.nan] * len(fronts)
+        purities = [np.nan] * len(fronts)
+        spreads = [(np.nan, np.nan)] * len(fronts)
     gammas = [s[0] for s in spreads]
     deltas = [s[1] for s in spreads]
     err_rates = [float(np.mean([not r.success for r in rl])) for rl in results]

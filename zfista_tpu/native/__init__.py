@@ -26,7 +26,25 @@ _tried = False
 
 def _compile() -> Path | None:
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    # Key the cache on (source, machine arch, compiler): the object is
+    # built -march=native, so a _build/*.so carried to a different
+    # microarchitecture (baked image, shared home) would dlopen fine and
+    # then SIGILL on first call — the arch must be part of the identity.
+    import platform
+
+    cc_id = b""
+    try:
+        cc_id = subprocess.run(
+            ["g++", "-dumpfullversion", "-dumpversion"],
+            capture_output=True,
+            timeout=10,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        pass
+    tag = hashlib.sha256(
+        src + platform.machine().encode() + platform.processor().encode()
+        + cc_id
+    ).hexdigest()[:16]
     ext = sysconfig.get_config_var("SHLIB_SUFFIX") or ".so"
     out = _BUILD / f"zt_metrics_{tag}{ext}"
     if out.exists():
@@ -37,6 +55,14 @@ def _compile() -> Path | None:
         # Read-only install (e.g. site-packages in a locked container):
         # the numpy fallback is the contract, not a crash.
         return None
+    # Prune stale-keyed objects (old source hashes / other arches built
+    # here) — they accumulate forever otherwise.
+    for old in _BUILD.glob(f"zt_metrics_*{ext}"):
+        if old != out:
+            try:
+                old.unlink()
+            except OSError:
+                pass
     # Compile to a process-unique temp name and rename into place: the
     # rename is atomic, so concurrent processes on a cold cache can never
     # dlopen a half-written object.

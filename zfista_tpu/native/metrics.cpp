@@ -31,8 +31,20 @@ namespace {
 // order has f2 strictly lower, or ties on f1 are handled by the strict-
 // domination definition (<= everywhere and < somewhere).
 void nd_mask_2d(const double* F, int64_t n, uint8_t* out) {
-  std::vector<int64_t> idx(n);
-  std::iota(idx.begin(), idx.end(), 0);
+  // NaN rows first: numpy comparisons with NaN are all false, so a NaN
+  // row can neither dominate nor be dominated — keep it and exclude it
+  // from the sweep.  (Leaving NaN in the sort comparator would violate
+  // strict weak ordering: UB.)
+  std::vector<int64_t> idx;
+  idx.reserve(n);
+  for (int64_t a = 0; a < n; ++a) {
+    if (std::isnan(F[2 * a]) || std::isnan(F[2 * a + 1])) {
+      out[a] = 1;
+    } else {
+      idx.push_back(a);
+    }
+  }
+  n = static_cast<int64_t>(idx.size());
   std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
     if (F[2 * a] != F[2 * b]) return F[2 * a] < F[2 * b];
     return F[2 * a + 1] < F[2 * b + 1];
@@ -76,26 +88,52 @@ void nd_mask_2d(const double* F, int64_t n, uint8_t* out) {
 // scan candidates; early-exit on first dominator.
 void nd_mask_general(const double* F, int64_t n, int64_t m, uint8_t* out) {
   // Pre-sort by sum of objectives: a dominator has sum <= ours, so only
-  // points earlier in this order can dominate — halves work and gives an
-  // early-exit order that finds dominators fast.
+  // points at-or-before OUR TIE BLOCK in this order can dominate — halves
+  // work and gives an early-exit order that finds dominators fast.
+  // Ties on the sum are real (any +inf coordinate makes both sums +inf;
+  // float rounding can also equate a dominating pair's sums), so the
+  // scan must include the whole equal-sum block, not just the strict
+  // prefix — a dominated point sorted before its dominator within a tie
+  // block was previously reported non-dominated.
+  //
+  // NaN handling (numpy semantics: NaN comparisons are all false, so a
+  // NaN row neither dominates nor is dominated): any NaN coordinate
+  // makes the row's sum NaN (inf - inf too) — keep those rows, exclude
+  // them from the sort (a NaN in the comparator is UB).
   std::vector<double> sums(n, 0.0);
-  for (int64_t i = 0; i < n; ++i)
+  std::vector<int64_t> idx;
+  idx.reserve(n);
+  for (int64_t i = 0; i < n; ++i) {
     sums[i] = std::accumulate(F + i * m, F + (i + 1) * m, 0.0);
-  std::vector<int64_t> idx(n);
-  std::iota(idx.begin(), idx.end(), 0);
+    if (std::isnan(sums[i])) {
+      out[i] = 1;
+    } else {
+      idx.push_back(i);
+    }
+  }
+  const int64_t nn = static_cast<int64_t>(idx.size());
   std::sort(idx.begin(), idx.end(),
             [&](int64_t a, int64_t b) { return sums[a] < sums[b]; });
 
-  for (int64_t oi = 0; oi < n; ++oi) {
+  int64_t block_end = 0;  // end (exclusive) of the current equal-sum run
+  for (int64_t oi = 0; oi < nn; ++oi) {
+    if (oi >= block_end) {
+      block_end = oi + 1;
+      while (block_end < nn && sums[idx[block_end]] == sums[idx[oi]])
+        ++block_end;
+    }
     const int64_t i = idx[oi];
     const double* fi = F + i * m;
     bool dominated = false;
-    for (int64_t oj = 0; oj < oi && !dominated; ++oj) {
+    for (int64_t oj = 0; oj < block_end && !dominated; ++oj) {
+      if (oj == oi) continue;
       const int64_t j = idx[oj];
       const double* fj = F + j * m;
       bool le = true, lt = false;
       for (int64_t k = 0; k < m; ++k) {
-        if (fj[k] > fi[k]) {
+        // !(fj <= fi) rather than (fj > fi): false for NaN coordinates
+        // either side, matching numpy's all(fj <= fi) semantics.
+        if (!(fj[k] <= fi[k])) {
           le = false;
           break;
         }

@@ -134,23 +134,14 @@ def all_processes_allclose(local_value, **kw) -> bool:
 def _parity_worker(args: argparse.Namespace) -> None:
     """Solve a LASSO λ-sweep batch sharded across ALL processes' devices and
     assert it matches the same batch solved on one local device."""
-    import os
-
     if args.platform == "cpu":
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                f"{flags} --xla_force_host_platform_device_count="
-                f"{args.local_devices}"
-            ).strip()
+        from zfista_tpu.utils.platform import force_platform
+
+        # x64: reference-precision parity (f32 FISTA ripple can floor
+        # above the 1e-5 tolerance; the reference is float64 throughout).
+        force_platform("cpu", n_devices=args.local_devices, x64=True)
     import jax
 
-    if args.platform == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-        # Reference-precision parity (f32 FISTA ripple can floor above the
-        # 1e-5 tolerance; the reference is float64 throughout).
-        jax.config.update("jax_enable_x64", True)
     initialize(args.coordinator, args.num_processes, args.process_id)
     import jax.numpy as jnp
 

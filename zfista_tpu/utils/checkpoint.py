@@ -34,12 +34,26 @@ def save_state(state: State, path) -> None:
 
     Globally-sharded states (multi-process runs, where each process owns
     only local shards) are gathered first — ``np.asarray`` alone raises
-    on non-fully-addressable arrays."""
+    on non-fully-addressable arrays.  The write is atomic (temp file +
+    rename), so a crash mid-write never leaves a truncated checkpoint.
+    In multi-process runs every process gathers the same global state;
+    write from process 0 only (``jax.process_index() == 0``) when the
+    path is on a shared filesystem — concurrent same-path writers are
+    each individually atomic but still race the final rename.
+    """
+    import os
+
     from zfista_tpu.parallel.batch import _host_array
 
     path = _normalize(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **{k: _host_array(v) for k, v in state._asdict().items()})
+    tmp = path.with_suffix(f".tmp{os.getpid()}.npz")
+    try:
+        np.savez(tmp, **{k: _host_array(v) for k, v in state._asdict().items()})
+        os.replace(tmp, path)
+    except BaseException:
+        tmp.unlink(missing_ok=True)
+        raise
 
 
 def load_state(path) -> State:

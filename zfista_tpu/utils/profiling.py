@@ -33,15 +33,22 @@ class _Annotation:
 
     def __init__(self, name: str) -> None:
         self._name = name
+        # Stack, not a single slot: one annotation object may be entered
+        # reentrantly (nested `with ann:` blocks); a lone self._ctx would
+        # be clobbered by the inner entry and __exit__ would then close
+        # the wrong (already-closed) scope.  (Scopes are per-thread LIFO —
+        # don't share one annotation object across threads.)
+        self._stack: list = []
 
     def __enter__(self):
         import jax
 
-        self._ctx = jax.profiler.TraceAnnotation(self._name)
-        return self._ctx.__enter__()
+        ctx = jax.profiler.TraceAnnotation(self._name)
+        self._stack.append(ctx)
+        return ctx.__enter__()
 
     def __exit__(self, *exc):
-        return self._ctx.__exit__(*exc)
+        return self._stack.pop().__exit__(*exc)
 
     def __call__(self, fn):
         import functools
