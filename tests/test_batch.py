@@ -275,3 +275,31 @@ def test_batch_cache_differentiates_lr(toy_lasso):
     np.testing.assert_allclose(np.asarray(r2.lr), 0.004, rtol=1e-6)
     # 3 fixed-lr ISTA steps from x0=2 move very differently at 0.4 vs 0.004
     assert not np.allclose(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_batch_chunk_validation_and_per_lane_ratio(toy_lasso):
+    """Round-3 review regressions: (1) iter_chunk/history_chunk < 1 must
+    raise (0 made an identity chunk program: host infinite loop / bogus
+    never-ran result); (2) per-lane momentum pairs are reported per lane
+    by to_list, not as the global default."""
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    x0s = jnp.array([[0.0], [2.0]])
+    args = (prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s)
+    with pytest.raises(ValueError, match="iter_chunk"):
+        minimize_proximal_gradient_batch(*args, lr=0.4, iter_chunk=0)
+    with pytest.raises(ValueError, match="history_chunk"):
+        minimize_proximal_gradient_batch(
+            *args, lr=0.4, history=True, history_chunk=0
+        )
+    with pytest.warns(UserWarning, match="iter_chunk"):
+        minimize_proximal_gradient_batch(
+            *args, lr=0.4, iter_chunk=64, check_every=8, max_iter=64
+        )
+    ab = np.array([[0.0, 0.25], [0.5, 0.25]])
+    res = minimize_proximal_gradient_batch(
+        *args, lr=0.4, nesterov=True, batch_nesterov_ratio=ab, max_iter=50
+    )
+    lanes = res.to_list()
+    assert lanes[0].nesterov_ratio == (0.0, 0.25)
+    assert lanes[1].nesterov_ratio == (0.5, 0.25)

@@ -735,7 +735,14 @@ def minimize_proximal_gradient(
         and m == 1
         and not verbose
         and not return_all
-        and int(check_every) > 1
+        and 1 < int(check_every) <= 256
+        # ^ upper bound: chunk-select Python-unrolls the WHOLE chunk as
+        # straight-line code (that is where its pipelining comes from);
+        # throughput plateaus by check_every 64-128 (BENCHMARKS.md unroll
+        # sweep) while compile time keeps growing with the unroll, so a
+        # huge check_every must not emit a huge program.  Beyond the cap
+        # the masked fori driver (device-side loop, unroll<=8) serves the
+        # same bitwise-identical semantics at bounded compile cost.
     )
     opts = dict(
         tol=tol,

@@ -393,9 +393,13 @@ def make_subproblem_solver(
             ok1, n1, w1, phi1 = arc_search(d_first)
             # If the Newton arc fails, retry along the projected-gradient
             # direction, which descends unless genuinely stationary — only
-            # ITS failure means we are at the numerical floor.
+            # ITS failure means we are at the numerical floor.  When the
+            # Newton direction was rejected up front (``bad``), d_first IS
+            # d_pg and the retry would repeat the identical failed search
+            # (up to ~41 redundant dual evaluations, double-counted in
+            # nit) — skip it and reuse the first result.
             ok2, n2, w2, phi2 = lax.cond(
-                ok1,
+                ok1 | bad,
                 lambda: (ok1, jnp.asarray(0, jnp.int32), w1, phi1),
                 lambda: arc_search(d_pg),
             )

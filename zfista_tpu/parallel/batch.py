@@ -45,6 +45,7 @@ from zfista_tpu.core.result import TERMINATION_MESSAGES, SolveResult
 from zfista_tpu.core.solver import (
     State,
     _active,
+    _bind_params,
     _cached_driver,
     _callable_key,
     _make_step,
@@ -88,7 +89,12 @@ class BatchResult(SolveResult):
                 tol=self.tol,
                 tol_internal=self.tol_internal,
                 nesterov=self.nesterov,
-                nesterov_ratio=self.nesterov_ratio,
+                # (B, 2) when the batch ran per-lane momentum pairs
+                nesterov_ratio=(
+                    tuple(float(v) for v in self.nesterov_ratio[i])
+                    if getattr(self.nesterov_ratio, "ndim", 0) == 2
+                    else self.nesterov_ratio
+                ),
             )
             if self.get("allfuns") is not None:
                 mask = self.history_mask[i]
@@ -119,12 +125,6 @@ class BatchResult(SolveResult):
                     )
             out.append(r)
         return out
-
-
-def _bind(fn: Callable, p: Any) -> Callable:
-    if p is None:
-        return fn
-    return lambda x: fn(x, p)
 
 
 def _host_array(a: Any) -> np.ndarray:
@@ -254,11 +254,15 @@ def minimize_proximal_gradient_batch(
     )
     max_iter = int(max_iter)
 
+    def _lane_callables(p):
+        """Bind this lane's params — the single shared binding convention
+        (core.solver._bind_params); identity when the batch has none."""
+        if not has_params:
+            return f, g, jac_f, prox_wsum_g
+        return _bind_params(f, g, jac_f, prox_wsum_g, p)
+
     def lane_init(x0, p):
-        fp = _bind(f, p)
-        gp = _bind(g, p)
-        jacp = _bind(jac_f, p) if jac_f is not None else None
-        proxp = (lambda w, x: prox_wsum_g(w, x, p)) if has_params else prox_wsum_g
+        fp, gp, jacp, proxp = _lane_callables(p)
         f_v, g_v, _, _, _, _ = _normalize_problem(fp, gp, jacp, proxp, x0)
         return init_state(x0, f_v(x0) + g_v(x0), m, lr)
 
@@ -278,10 +282,7 @@ def minimize_proximal_gradient_batch(
         )
 
     def lane_step(state: State, p, ab) -> State:
-        fp = _bind(f, p)
-        gp = _bind(g, p)
-        jacp = _bind(jac_f, p) if jac_f is not None else None
-        proxp = (lambda w, x: prox_wsum_g(w, x, p)) if has_params else prox_wsum_g
+        fp, gp, jacp, proxp = _lane_callables(p)
         # state.x is this lane's tracer — shape/dtype template only (a
         # closure over x0s[0] would capture non-addressable global shards).
         f_v, g_v, jac_v, prox_v, _, _ = _normalize_problem(
@@ -357,6 +358,18 @@ def minimize_proximal_gradient_batch(
     if check_every < 1:
         # A 0-step chunk is an identity while_loop body: device-side hang.
         raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if iter_chunk is not None:
+        if int(iter_chunk) < 1:
+            # A 0-step chunk program is the identity: the host loop would
+            # re-dispatch no-op kernels forever (same guard as check_every).
+            raise ValueError(f"iter_chunk must be >= 1, got {iter_chunk}")
+        if check_every != 1 and not history:
+            warnings.warn(
+                "check_every > 1 is ignored when iter_chunk is set (the "
+                "chunked driver runs plain masked steps and re-checks "
+                "between chunks).",
+                stacklevel=2,
+            )
     if history:
         if check_every != 1:
             warnings.warn(
@@ -365,6 +378,12 @@ def minimize_proximal_gradient_batch(
                 stacklevel=2,
             )
         chunk = int(history_chunk)
+        if chunk < 1:
+            # scan(length=0) returns the init carry with empty outputs:
+            # the history loop would break immediately and report a bogus
+            # never-ran result (same guard as the single-solve facade,
+            # core.solver history_chunk validation).
+            raise ValueError(f"history_chunk must be >= 1, got {history_chunk}")
 
         def build_hist_chunk():
             def run_chunk(states: State, *sa):
@@ -457,7 +476,7 @@ def minimize_proximal_gradient_batch(
                 tol,
                 tol_internal,
                 nesterov,
-                nesterov_ratio,
+                _host_array(ab_arr) if has_ab else nesterov_ratio,
                 None,
                 None,
                 None,
@@ -509,19 +528,22 @@ def minimize_proximal_gradient_batch(
                 lambda states, *sa: traced_finalize(drive(states, *sa), *sa)
             )
 
-        run_full = _cached_driver(
-            ("while", check_every, "full") + cache_key_base, build_run_full
-        )
-        run_resume = _cached_driver(
-            ("while", check_every, "resume") + cache_key_base,
-            build_run_resume,
-        )
-
+        # Build only the driver this call uses: fresh solves never call
+        # run_resume and resumed solves never call run_full — materializing
+        # both would burn two FIFO cache slots per configuration and evict
+        # hot programs twice as fast in sweep workloads.
         if initial_states is not None:
+            run_resume = _cached_driver(
+                ("while", check_every, "resume") + cache_key_base,
+                build_run_resume,
+            )
             states = jax.block_until_ready(
                 run_resume(initial_states, *step_args)
             )
         else:
+            run_full = _cached_driver(
+                ("while", check_every, "full") + cache_key_base, build_run_full
+            )
             states = jax.block_until_ready(run_full(x0s, *step_args))
         allfuns = allerrs = hist_mask = allvecs = None
         F0_all = None
@@ -536,7 +558,10 @@ def minimize_proximal_gradient_batch(
         tol,
         tol_internal,
         nesterov,
-        nesterov_ratio,
+        # Per-lane momentum pairs (an (a,b)-sweep) become a (B, 2) field so
+        # to_list() can report each lane's ACTUAL pair — previously every
+        # lane claimed the global default.
+        _host_array(ab_arr) if has_ab else nesterov_ratio,
         allfuns,
         allerrs,
         hist_mask,
