@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zfista_tpu.models.deblur import (
+    TVDeblur,
     WaveletDeblur,
     blur_lipschitz,
     dwt2,
@@ -166,3 +167,29 @@ def test_tiny_image_smaller_than_kernel():
         x4, w, (1, 1), "SAME", precision=lax.Precision.HIGHEST
     )[0, 0]
     np.testing.assert_allclose(np.asarray(blur(img)), np.asarray(ref), atol=1e-6)
+
+
+def test_jacobians_exact_for_nonsymmetric_kernels():
+    """jac_f must be the TRUE adjoint gradient for kernels where the blur
+    is NOT self-adjoint (round-3 review finding: non-palindromic rank-1
+    taps pass the separable dispatch, and the conv path accepts arbitrary
+    kernels — using the forward blur in the gradient silently converges
+    to the wrong image).  Oracle: autodiff of f."""
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.random((16, 16)))
+    # non-palindromic separable kernel (matmul path)
+    taps = np.array([0.2, 0.3, 0.5])
+    k_sep = np.outer(taps, taps)
+    # asymmetric non-separable kernel (conv path), e.g. a motion-ish blur
+    k_conv = rng.random((3, 3))
+    k_conv /= k_conv.sum()
+    for kernel in (k_sep, k_conv):
+        observed = make_blur(kernel)(img)
+        for prob in (
+            WaveletDeblur(observed, kernel=kernel),
+            TVDeblur(observed, kernel=kernel),
+        ):
+            x = jnp.asarray(rng.standard_normal(prob.n_features))
+            jac = np.asarray(prob.jac_f(x)).ravel()
+            jac_ad = np.asarray(jax.grad(lambda z: prob.f(z)[0])(x))
+            np.testing.assert_allclose(jac, jac_ad, rtol=1e-8, atol=1e-10)

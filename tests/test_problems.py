@@ -179,3 +179,24 @@ def test_first_shift_quirk_matches_reference():
     # NOT the shifted prox (that is the documented inconsistency):
     shifted = soft_threshold(x - shifts[0], coef[0]) + shifts[0]
     assert not np.allclose(np.asarray(got), np.asarray(shifted))
+
+
+def test_wsum_prox_none_shifts():
+    """make_wsum_shifted_l1_box_prox(l1_ratios, None, ...) means all-zero
+    shifts (the signature advertises Array | None; this used to crash
+    with a trace-time TypeError)."""
+    import jax.numpy as jnp
+
+    from zfista_tpu.ops.prox import make_wsum_shifted_l1_box_prox
+
+    p_none = make_wsum_shifted_l1_box_prox(
+        jnp.array([0.1, 0.2]), None, None, None
+    )
+    p_zero = make_wsum_shifted_l1_box_prox(
+        jnp.array([0.1, 0.2]), jnp.array([0.0, 0.0]), None, None
+    )
+    w = jnp.array([0.5, 0.5])
+    x = jnp.array([1.0, -2.0, 0.05])
+    np.testing.assert_array_equal(
+        np.asarray(p_none(w, x)), np.asarray(p_zero(w, x))
+    )

@@ -288,3 +288,24 @@ def test_tv_deblur_pallas_prox_method():
     assert spy.call_count > 0, "solve() never reached the Pallas kernel"
     assert r_x.nit == r_p.nit == 20
     np.testing.assert_allclose(r_p.x, r_x.x, atol=1e-5)
+
+
+def test_pallas_interpret_ignores_vmem_cap():
+    """method='pallas_interpret' must run the kernel at ANY size (the VMEM
+    budget gates only the real TPU kernel); otherwise large-shape parity
+    tests would compare XLA against itself."""
+    from unittest import mock
+
+    from zfista_tpu.ops import tv_pallas
+    from zfista_tpu.ops.tv import prox_tv
+
+    rng = np.random.default_rng(3)
+    # over-budget shape (fits_vmem False), but tiny n_iter keeps it fast
+    v = jnp.asarray(rng.standard_normal((600, 600)), jnp.float32)
+    assert not tv_pallas.fits_vmem(v.shape, v.dtype)
+    real = tv_pallas.fgp_pallas
+    with mock.patch.object(tv_pallas, "fgp_pallas", side_effect=real) as spy:
+        u = prox_tv(jnp.float32(0.1), v, n_iter=2, method="pallas_interpret")
+    assert spy.call_count == 1
+    u_x = prox_tv(jnp.float32(0.1), v, n_iter=2)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_x), atol=1e-6)

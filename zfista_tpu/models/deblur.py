@@ -18,8 +18,9 @@ TPU-native construction:
   uses via the DCT (cameraman.ipynb cell 6).
 
 ``f``/``jac_f``/``prox`` plug straight into the core solver; the Jacobian
-is the analytic adjoint ``2·DWT(blurᵀ(residual))`` (blur kernel symmetric ⇒
-self-adjoint), validated against autodiff in tests.
+is the analytic adjoint ``2·DWT(blur*(residual))`` with the blur's TRUE
+adjoint (``make_blur(..., adjoint=True)``; for centro-symmetric kernels it
+coincides with the forward blur), validated against autodiff in tests.
 """
 
 from __future__ import annotations
@@ -138,7 +139,7 @@ def _separable_taps(k_np: np.ndarray) -> np.ndarray | None:
     return taps
 
 
-def make_blur(kernel: np.ndarray):
+def make_blur(kernel: np.ndarray, adjoint: bool = False):
     """SAME-padded 2-D convolution ``image -> blurred image``.
 
     Separable symmetric kernels (the Gaussian: ``K = a aᵀ``) dispatch to
@@ -147,8 +148,15 @@ def make_blur(kernel: np.ndarray):
     TPU for 1-channel NCHW (measured 7.2 ms vs 0.16 ms per application at
     256², 45x; boundary semantics identical to the conv's zero padding,
     max diff 2e-7 f32).  Non-separable kernels fall back to the conv.
-    Both paths are self-adjoint for symmetric kernels (``G`` is then a
-    symmetric matrix), which ``jac_f`` in the deblurring models relies on.
+
+    ``adjoint=True`` returns the TRUE adjoint operator ``blur*``
+    (``Gᵀ @ X @ G`` on the matmul path; convolution with the doubly
+    flipped kernel on the conv path) — what ``jac_f`` in the deblurring
+    models needs.  For centro-symmetric kernels (the Gaussian) the
+    adjoint equals the forward operator bitwise; for anything else
+    (motion blur, non-palindromic rank-1 taps) the two genuinely differ,
+    and using the forward blur in the gradient would silently converge
+    to the wrong image.
     """
     k_np = np.asarray(kernel, np.float64)
     taps = _separable_taps(k_np)
@@ -168,13 +176,17 @@ def make_blur(kernel: np.ndarray):
             Gr = band(img.shape[-2], img.dtype)
             Gc = band(img.shape[-1], img.dtype)
             p = lax.Precision.HIGHEST  # bf16 products floor convergence
+            if adjoint:  # <Gr X Gcᵀ, Y> = <X, Grᵀ Y Gc>
+                return jnp.matmul(
+                    jnp.matmul(Gr.T, img, precision=p), Gc, precision=p
+                )
             return jnp.matmul(
                 jnp.matmul(Gr, img, precision=p), Gc.T, precision=p
             )
 
         return blur
 
-    k = jnp.asarray(k_np)
+    k = jnp.asarray(k_np[::-1, ::-1] if adjoint else k_np)
 
     def blur_conv(img: Array) -> Array:
         x = img[None, None, :, :]
@@ -214,6 +226,8 @@ class WaveletDeblur:
         levels: int | None = None,
     ) -> None:
         self.b = jnp.asarray(observed)
+        if self.b.ndim != 2:
+            raise ValueError("observed must be a 2-D image")
         size = self.b.shape[0]
         if self.b.shape[0] != self.b.shape[1] or size & (size - 1):
             raise ValueError("image must be square with power-of-two side")
@@ -225,6 +239,7 @@ class WaveletDeblur:
             )
         self.l1_ratio = float(l1_ratio)
         self._blur = make_blur(self.kernel)
+        self._blur_T = make_blur(self.kernel, adjoint=True)
         self.n_objectives = 1
         self.n_features = size * size
 
@@ -236,8 +251,11 @@ class WaveletDeblur:
         return jnp.reshape(jnp.sum(r * r), (1,))
 
     def jac_f(self, x: Array) -> Array:
+        # grad = 2 * A* r with A = blur ∘ IDWT: the blur's TRUE adjoint
+        # (equal to the forward blur only for centro-symmetric kernels)
+        # and DWT = IDWT* (orthonormal).
         r = self._blur(idwt2(self._coeffs(x), self.levels)) - self.b
-        return 2 * jnp.reshape(dwt2(self._blur(r), self.levels), (1, -1))
+        return 2 * jnp.reshape(dwt2(self._blur_T(r), self.levels), (1, -1))
 
     def g(self, x: Array) -> Array:
         return jnp.reshape(self.l1_ratio * jnp.sum(jnp.abs(x)), (1,))
@@ -259,7 +277,9 @@ class WaveletDeblur:
             kwargs["lr"] = 1.0 / self.lipschitz()
         kwargs.setdefault("decay_rate", 1)
         kwargs.setdefault("nesterov", True)
-        x0 = kwargs.pop("x0", self.x0())
+        # pop-with-default would EVALUATE the eager DWT pyramid even when
+        # the caller supplies x0 (Python evaluates the default first)
+        x0 = kwargs.pop("x0") if "x0" in kwargs else self.x0()
         return minimize_proximal_gradient(
             self.f, self.g, self.jac_f, self.prox_wsum_g, x0, **kwargs
         )
@@ -304,6 +324,7 @@ class TVDeblur:
         # kernel anywhere — the CPU test path, never for real work).
         self.prox_method = str(prox_method)
         self._blur = make_blur(self.kernel)
+        self._blur_T = make_blur(self.kernel, adjoint=True)
         self.n_objectives = 1
         self.n_features = int(self.b.shape[0] * self.b.shape[1])
 
@@ -316,7 +337,7 @@ class TVDeblur:
 
     def jac_f(self, x: Array) -> Array:
         r = self._blur(self._image(x)) - self.b
-        return 2 * jnp.reshape(self._blur(r), (1, -1))
+        return 2 * jnp.reshape(self._blur_T(r), (1, -1))
 
     def g(self, x: Array) -> Array:
         val = tv2d(self._image(x), self.isotropic)
@@ -339,6 +360,26 @@ class TVDeblur:
         """Warm start at the observed image itself."""
         return jnp.reshape(self.b, (-1,))
 
+    def _bands(self):
+        """Device-resident banded blur matrices ``(Gr, Gc)``, built once
+        per instance (the SVD + O(n²) host construction + transfer are
+        RTT-priced on remote backends), or None for non-separable
+        kernels.  Shared by :meth:`solve` (via ``_params``) and
+        :meth:`solve_warm`."""
+        bands = getattr(self, "_bands_cache", False)
+        if bands is False:
+            taps = _separable_taps(np.asarray(self.kernel, np.float64))
+            if taps is None:
+                bands = None
+            else:
+                dt = self.b.dtype
+                bands = (
+                    jnp.asarray(_band_matrix(taps, self.b.shape[0]), dt),
+                    jnp.asarray(_band_matrix(taps, self.b.shape[1]), dt),
+                )
+            self._bands_cache = bands
+        return bands
+
     def solve(self, **kwargs):
         """Fixed-step accelerated solve at ``lr = 1/L`` (same driver
         settings as the wavelet workload: decay_rate=1, nesterov=True).
@@ -349,21 +390,24 @@ class TVDeblur:
         arguments, so solving a NEW observation of the same shape reuses
         the compiled program instead of recompiling with the operands
         baked in as constants.
+
+        .. warning:: The instance is FROZEN after the first call (the
+           params tuple is cached); build a new instance per observation
+           — the compiled program is shared across instances of one
+           shape, so this is cheap.
         """
         if "lr" not in kwargs:
             kwargs["lr"] = 1.0 / self.lipschitz()
         kwargs.setdefault("decay_rate", 1)
         kwargs.setdefault("nesterov", True)
-        x0 = kwargs.pop("x0", self.x0())
+        x0 = kwargs.pop("x0") if "x0" in kwargs else self.x0()
         p = getattr(self, "_params", None)
         if p is None:
             dt = self.b.dtype
             lam = jnp.asarray(self.tv_ratio, dt)
-            taps = _separable_taps(np.asarray(self.kernel, np.float64))
-            if taps is not None:
-                Gr = jnp.asarray(_band_matrix(taps, self.b.shape[0]), dt)
-                Gc = jnp.asarray(_band_matrix(taps, self.b.shape[1]), dt)
-                p = (self.b, Gr, Gc, lam)
+            bands = self._bands()
+            if bands is not None:
+                p = (self.b, *bands, lam)
             else:
                 p = (self.b, jnp.asarray(self.kernel, dt), lam)
             self._params = p
@@ -393,15 +437,14 @@ class TVDeblur:
         with the general solver path matters.  Separable symmetric
         kernels only.  Returns ``{x, fun, nit, error_criterion, time}``.
         """
-        taps = _separable_taps(np.asarray(self.kernel, np.float64))
-        if taps is None:
+        bands = self._bands()
+        if bands is None:
             raise ValueError(
                 "solve_warm requires a separable symmetric odd-size kernel"
             )
         start = _time.perf_counter()
         dt = self.b.dtype
-        Gr = jnp.asarray(_band_matrix(taps, self.b.shape[0]), dt)
-        Gc = jnp.asarray(_band_matrix(taps, self.b.shape[1]), dt)
+        Gr, Gc = bands
         X, F, nit, err, _ = _tv_warm_driver(
             self.b,
             Gr,
@@ -448,15 +491,19 @@ def _tv_warm_driver(
     inputs, so the optimal duals barely move): ``prox_iter`` can drop
     from the cold-start 30 to ~5-8 at equal restoration quality —
     measured in BENCHMARKS.md "TV-regularized deblurring".  Separable
-    (banded-matmul) blur only.  Returns ``(X, nit, err, dual)``.
+    (banded-matmul) blur only.  Returns ``(X, F, nit, err, dual)``.
     """
     pr = lax.Precision.HIGHEST
 
     def blur(X: Array) -> Array:
         return jnp.matmul(jnp.matmul(Gr, X, precision=pr), Gc.T, precision=pr)
 
+    def blur_T(Y: Array) -> Array:
+        # true adjoint (bitwise equal to blur for symmetric bands)
+        return jnp.matmul(jnp.matmul(Gr.T, Y, precision=pr), Gc, precision=pr)
+
     def grad_f(X: Array) -> Array:
-        return 2.0 * blur(blur(X) - b)
+        return 2.0 * blur_T(blur(X) - b)
 
     z = jnp.zeros_like(b)
     one = jnp.asarray(1.0, b.dtype)
@@ -516,12 +563,32 @@ def _tv_deblur_callables(
                 jnp.matmul(Grc, X, precision=pr), Gcc.T, precision=pr
             )
 
+        def blur_T_p(Y: Array, p) -> Array:
+            # true adjoint: <Gr X Gcᵀ, Y> = <X, Grᵀ Y Gc>; equals blur_p
+            # bitwise for centro-symmetric kernels (symmetric bands)
+            _, Gr, Gc, _ = p
+            Grc = Gr.astype(Y.dtype)
+            Gcc = Gc.astype(Y.dtype)
+            return jnp.matmul(
+                jnp.matmul(Grc.T, Y, precision=pr), Gcc, precision=pr
+            )
+
     else:
 
         def blur_p(X: Array, p) -> Array:
             K = p[1]
             x4 = X[None, None, :, :]
             w = K[None, None, :, :].astype(X.dtype)
+            return lax.conv_general_dilated(
+                x4, w, (1, 1), "SAME", precision=pr
+            )[0, 0]
+
+        def blur_T_p(Y: Array, p) -> Array:
+            # true adjoint of the SAME zero-padded correlation: correlate
+            # with the doubly flipped kernel
+            K = p[1][::-1, ::-1]
+            x4 = Y[None, None, :, :]
+            w = K[None, None, :, :].astype(Y.dtype)
             return lax.conv_general_dilated(
                 x4, w, (1, 1), "SAME", precision=pr
             )[0, 0]
@@ -534,7 +601,7 @@ def _tv_deblur_callables(
     def jac_p(x, p):
         b = p[0]
         r = blur_p(jnp.reshape(x, b.shape), p) - b
-        return 2 * jnp.reshape(blur_p(r, p), (1, -1))
+        return 2 * jnp.reshape(blur_T_p(r, p), (1, -1))
 
     def g_p(x, p):
         b, lam = p[0], p[-1]

@@ -112,6 +112,12 @@ class Lasso(Problem):
         argument, so the operator streams into the compiled program instead
         of being embedded as a constant (3x at n=10k), and repeat solves
         (any ``A`` of the same shape) reuse one compiled driver.
+
+        .. warning:: The instance is FROZEN after the first call: the
+           params tuple and ``1/L`` are cached, so later mutation of
+           ``A``/``b``/``l1_ratio``/``l2_ratio`` attributes is silently
+           ignored.  Build a new instance per problem (cheap — the
+           compiled program is shared across instances of one shape).
         """
         if "lr" not in kwargs:
             # Cache 1/L: the 50-matvec power iteration is the dominant
@@ -171,22 +177,32 @@ def _lasso_prox_p(w, x, p):
     return soft_threshold(x, w * lam)
 
 
-def make_lasso_lambda_sweep(A, b):
+def make_lasso_lambda_sweep(A, b, l2_ratio: float = 0.0):
     """Problem callables parameterized by per-lane λ for
     :func:`zfista_tpu.parallel.batch.minimize_proximal_gradient_batch`
     (BASELINE configs[2]: 1k-λ elastic-net sweep as one vmapped program).
 
-    Returns ``(f, g, jac_f, prox)`` each taking the λ parameter last.
+    ``l2_ratio`` (μ, shared across lanes) adds the elastic-net term
+    ``(μ/2)‖x‖²`` with the same convention as :class:`Lasso`; the default
+    0 is the pure-LASSO sweep.  Returns ``(f, g, jac_f, prox)`` each
+    taking the λ parameter last.
     """
     A = jnp.asarray(A)
     b = jnp.asarray(b)
+    mu = float(l2_ratio)
 
     def f(x, lam):
         r = _DOT(A, x) - b
-        return jnp.reshape(jnp.dot(r, r), (1,))
+        val = jnp.dot(r, r)
+        if mu:
+            val = val + 0.5 * mu * jnp.dot(x, x)
+        return jnp.reshape(val, (1,))
 
     def jac_f(x, lam):
-        return jnp.reshape(2 * _DOT(A.T, _DOT(A, x) - b), (1, -1))
+        grad = 2 * _DOT(A.T, _DOT(A, x) - b)
+        if mu:
+            grad = grad + mu * x
+        return jnp.reshape(grad, (1, -1))
 
     def g(x, lam):
         return jnp.reshape(lam * jnp.sum(jnp.abs(x)), (1,))

@@ -65,7 +65,7 @@ def _prox_momentum_kernel(y_ref, grad_ref, x_ref, scal_ref, xo_ref, yo_ref):
     thresh = scal_ref[1]
     gamma = scal_ref[2]
     z = y_ref[:] - lr * grad_ref[:]
-    x_new = jnp.sign(z) * jnp.maximum(jnp.abs(z) - thresh, 0)
+    x_new = soft_threshold(z, thresh)  # the canonical op (bit-parity-tested)
     xo_ref[:] = x_new
     yo_ref[:] = x_new + gamma * (x_new - x_ref[:])
 

@@ -100,6 +100,15 @@ def make_wsum_shifted_l1_box_prox(
     ``lr`` (scalar) for one objective or ``lr * w`` (shape ``(m,)``) otherwise.
     """
 
+    # None shifts with ratios set means "all unshifted" (the signature
+    # advertises Array | None; atleast_1d(None) is a trace-time TypeError).
+    # Host-side zeros: this factory may run outside any trace and the
+    # closure must not capture a leaked tracer.
+    if l1_ratios is not None and l1_shifts is None:
+        import numpy as _np
+
+        l1_shifts = _np.zeros(_np.atleast_1d(_np.asarray(l1_ratios)).shape)
+
     def prox(weight: Array, x: Array) -> Array:
         if l1_ratios is not None:
             coef = jnp.asarray(weight) * l1_ratios

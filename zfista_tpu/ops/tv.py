@@ -117,7 +117,10 @@ def prox_tv(
     if use_kernel:
         from zfista_tpu.ops import tv_pallas
 
-        if tv_pallas.fits_vmem(v.shape, v.dtype):
+        # The VMEM budget gates only the REAL kernel; the interpreter has
+        # no VMEM and must run the kernel at any size (a capacity fallback
+        # here would make large-shape parity tests compare XLA to itself).
+        if interpret or tv_pallas.fits_vmem(v.shape, v.dtype):
             if dual0 is None:
                 p00 = q00 = jnp.zeros_like(v)
             else:
