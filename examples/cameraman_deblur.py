@@ -119,7 +119,13 @@ def main() -> None:
 
         from zfista_tpu.models.deblur import idwt2
 
-        best = int(np.argmin(nit))
+        # best CONVERGED pair only: unconverged lanes sit at max_iter and
+        # argmin over raw nit could render a non-recovered iterate
+        ok = np.asarray(res.success, bool)
+        if not ok.any():
+            print("no converged pair; skipping the recovered-image figure")
+            return
+        best = int(np.argmin(np.where(ok, nit, np.inf)))
         rec = np.asarray(
             idwt2(jnp.reshape(jnp.asarray(res.x[best]), img.shape), prob.levels)
         )

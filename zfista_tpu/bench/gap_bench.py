@@ -79,6 +79,11 @@ def run(
     max_chunks: int = 64,
 ) -> dict:
     """Measure wall-to-gap; returns the result record (also printable)."""
+    if repeats < 1 or chunk < 1 or max_chunks < 1:
+        raise ValueError(
+            f"repeats/chunk/max_chunks must be >= 1; got "
+            f"{repeats}/{chunk}/{max_chunks}"
+        )
     import jax
     import jax.numpy as jnp
     from jax import lax

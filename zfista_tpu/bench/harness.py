@@ -252,6 +252,15 @@ def performance_profiles(
     problems whose ratio-to-best is <= τ, as a step function of τ."""
     profiles: dict[str, dict[str, tuple[np.ndarray, np.ndarray]]] = {}
     metric_names = next(iter(ratios_per_problem.values())).keys()
+    # The denominator is the TOTAL problem count, shared by every
+    # algorithm: a variant that runs only on a subset of problems (the
+    # projected variant exists only on bounded cells) must not reach
+    # fraction 1.0 by "solving" all of its own subset — problems it never
+    # ran on count as never-solved, the standard Dolan-Moré convention.
+    # (In the reference every variant runs on every problem, so per-alg
+    # and total counts coincide there.)  NaN ratios (an all-failed cell)
+    # likewise never reach any τ.
+    n_problems = len(ratios_per_problem)
     for metric in metric_names:
         per_alg: dict[str, list[float]] = {}
         for ratios in ratios_per_problem.values():
@@ -259,8 +268,9 @@ def performance_profiles(
                 per_alg.setdefault(alg, []).append(val)
         profiles[metric] = {}
         for alg, vals in per_alg.items():
-            v = np.sort(np.asarray(vals, dtype=float))
-            frac = np.arange(1, len(v) + 1) / len(v)
+            v = np.asarray(vals, dtype=float)
+            v = np.sort(v[~np.isnan(v)])
+            frac = np.arange(1, len(v) + 1) / n_problems
             profiles[metric][alg] = (v, frac)
     return profiles
 

@@ -242,8 +242,14 @@ def momentum_sweep(
         # proportional to mean iteration count (lanes run in lockstep, so
         # no per-pair wall exists in the shared sweep).
         denom = np.nansum(mean_nit)
+        # Each pair's share of the shared wall covers ALL of its n_starts
+        # lockstep lanes; divide so the column carries the same
+        # seconds-per-SOLVE semantics as the measured branch (and the
+        # reference CSVs).
         per_solve_time = [
-            float(total * mean_nit[i] / denom) if n_ok[i] > 0 else None
+            float(total * mean_nit[i] / denom / n_starts)
+            if n_ok[i] > 0
+            else None
             for i in range(len(grid))
         ]
 
