@@ -18,8 +18,10 @@ from zfista_tpu.parallel.sharding import batch_sharding, make_mesh
 
 @pytest.fixture(scope="module")
 def toy_lasso():
-    # The reference's 1-D closed-form toy (tests/test_proximal_gradient.py:70-114):
-    # A = [[1],[0],[0]]/sqrt(2) stacked so f = ||Ax-b||^2 with known solutions.
+    # 1-D closed-form toy in the spirit of the reference's LASSO tests
+    # (tests/test_proximal_gradient.py:70-114): with this A and b,
+    # f(x) = ||Ax - b||^2 = (x - 1)^2 + const, so
+    # argmin (x-1)^2 + r|x|  =  1 - r/2  (e.g. r=0.1 -> x* = 0.95).
     A = np.array([[1.0], [0.0], [0.0]])
     b = np.array([1.0, 0.0, 0.0])
     return A, b
@@ -34,8 +36,7 @@ def test_batch_matches_single(toy_lasso):
     )
     assert res.x.shape == (4, 1)
     assert bool(np.all(res.success))
-    # Closed form: argmin (x-1)^2 + 0.1|x| -> x* = 1 - 0.05 = 0.95... wait:
-    # f = (x - 1)^2, prox of 0.1|x|: x* = 1 - 0.1/2 = 0.95.
+    # Closed form (see fixture): x* = 1 - 0.1/2 = 0.95.
     np.testing.assert_allclose(res.x, 0.95, atol=1e-4)
     for i, r in enumerate(res.to_list()):
         single = prob.minimize_proximal_gradient(

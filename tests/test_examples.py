@@ -120,14 +120,20 @@ def test_cameraman_deblur_image_flag(tmp_path):
             "32",
             "--max-iter",
             "600",
+            "--tol",
+            "1e-3",
             "--image",
             str(sample),
             "--out",
             str(tmp_path),
-        ]
+        ],
+        timeout=900,  # the heaviest example config; match the others
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "cameraman_ab.csv").exists()
-    # measured time column present for converged pairs
+    # measured time column: a real (positive) seconds value for at least
+    # one converged pair, not just the right row count
     lines = (tmp_path / "cameraman_ab.csv").read_text().strip().splitlines()
     assert len(lines) == 15
+    times = [ln.split(",")[2] for ln in lines]
+    assert any(t and float(t) > 0 for t in times), times

@@ -55,11 +55,12 @@ def test_benchmark_and_metrics_cell(tmp_path):
     # payload without re-solving (and without the different-settings warning)
     import warnings as _warnings
 
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("error")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
         again = load_or_run_results(
             prob, -2, 4, tmp_path, n_samples=4, max_iter=2000, history=False
         )
+    assert not [w for w in caught if "different settings" in str(w.message)]
     np.testing.assert_array_equal(
         again["Normal"][0].x, results["Normal"][0].x
     )
@@ -141,11 +142,12 @@ def test_cache_invalidated_on_config_change(tmp_path):
     # same settings again: served from cache silently
     import warnings as _w
 
-    with _w.catch_warnings():
-        _w.simplefilter("error")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
         load_or_run_results(
             prob, -2.0, 4.0, tmp_path, n_samples=3, max_iter=200, history=False
         )
+    assert not [w for w in caught if "different settings" in str(w.message)]
 
 
 def test_cache_config_with_array_kwarg(tmp_path):
@@ -162,12 +164,13 @@ def test_cache_config_with_array_kwarg(tmp_path):
         prob, -2.0, 4.0, tmp_path, n_samples=2, max_iter=500,
         history=False, variants=variants,
     )
-    with _w.catch_warnings():
-        _w.simplefilter("error")  # cache hit: no "different settings" warning
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")  # cache hit: no "different settings" warning
         r2 = load_or_run_results(
             prob, -2.0, 4.0, tmp_path, n_samples=2, max_iter=500,
             history=False, variants=variants,
         )
+    assert not [w for w in caught if "different settings" in str(w.message)]
     np.testing.assert_array_equal(r1["Acc"][0].x, r2["Acc"][0].x)
 
 

@@ -27,10 +27,11 @@ def test_nd_mask_matches_numpy(m):
     for n in [1, 2, 10, 100, 700]:
         F = rng.uniform(0, 1, size=(n, m))
         np.testing.assert_array_equal(nd_mask_native(F), _numpy_nd_mask(F))
-    # ties and duplicates
-    F = np.array([[0.5, 0.5], [0.5, 0.5], [0.4, 0.6], [0.6, 0.6]])
-    if m == 2:
-        np.testing.assert_array_equal(nd_mask_native(F), _numpy_nd_mask(F))
+    # ties and duplicates: identical rows never dominate each other, a
+    # strictly-worse row does get dominated — in EVERY objective count
+    base = np.array([[0.5, 0.5], [0.5, 0.5], [0.4, 0.6], [0.6, 0.6]])
+    F = np.concatenate([base, rng.uniform(0.45, 0.55, size=(4, m - 2))], axis=1)
+    np.testing.assert_array_equal(nd_mask_native(F), _numpy_nd_mask(F))
 
 
 @pytest.mark.parametrize("m", [2, 3])
@@ -77,11 +78,7 @@ def test_native_nd_mask_inf_objectives():
     (review finding: the HUGE_VAL sentinel marked first-group inf
     dominated)."""
     from zfista_tpu.metrics import non_dominated_mask
-    from zfista_tpu import native
-
-    lib = native.load()
-    if lib is None:
-        pytest.skip("native toolchain unavailable")
+    # (module-level pytestmark already skips when the toolchain is absent)
     rng = np.random.default_rng(0)
     n = 600  # above the native dispatch threshold
     F = rng.standard_normal((n, 2)) + 5.0

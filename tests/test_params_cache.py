@@ -49,6 +49,9 @@ def test_params_path_matches_closure_path():
 
 
 def test_driver_cache_reused_across_solves():
+    # At FIFO capacity an evict+insert keeps len() constant, making the
+    # reuse assertions below vacuous — start from a clean cache.
+    solver_mod._DRIVER_CACHE.clear()
     A, b = _toy()
     prob = Lasso(A, b, l1_ratio=0.01)
     lr = 1.0 / prob.lipschitz()
@@ -81,6 +84,7 @@ def test_skip_F_returns_correct_objective():
 
 def test_params_multi_lambda_no_retrace():
     """Changing lambda (0-d param leaf) must not change the cache key."""
+    solver_mod._DRIVER_CACHE.clear()  # see test_driver_cache_reused_...
     A, b = _toy()
     x0 = np.zeros(A.shape[1])
     prob_a = Lasso(A, b, l1_ratio=0.01)

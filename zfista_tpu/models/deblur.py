@@ -187,6 +187,16 @@ def make_blur(kernel: np.ndarray, adjoint: bool = False):
         return blur
 
     k = jnp.asarray(k_np[::-1, ::-1] if adjoint else k_np)
+    # XLA SAME pads (lo, hi) = ((k-1)//2, k//2) per dim.  The adjoint of a
+    # zero-padded correlation is correlation with the flipped kernel under
+    # SWAPPED padding — for odd kernels lo == hi and plain SAME is the
+    # adjoint, but for even kernels the asymmetric pad must flip too or
+    # the operator is off by one pixel (inner-product test pins this).
+    kh, kw = k_np.shape
+    if adjoint:
+        pad = ((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2))
+    else:
+        pad = (((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2))
 
     def blur_conv(img: Array) -> Array:
         x = img[None, None, :, :]
@@ -195,7 +205,7 @@ def make_blur(kernel: np.ndarray, adjoint: bool = False):
             x,
             w,
             window_strides=(1, 1),
-            padding="SAME",
+            padding=pad,
             precision=lax.Precision.HIGHEST,  # bf16 conv floors convergence
         )
         return out[0, 0]
@@ -585,12 +595,16 @@ def _tv_deblur_callables(
 
         def blur_T_p(Y: Array, p) -> Array:
             # true adjoint of the SAME zero-padded correlation: correlate
-            # with the doubly flipped kernel
+            # with the doubly flipped kernel under SWAPPED padding (XLA
+            # SAME pads ((k-1)//2, k//2); for even kernels the asymmetry
+            # must flip with the kernel or the adjoint is off by a pixel)
             K = p[1][::-1, ::-1]
+            kh, kw = K.shape
+            pad = ((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2))
             x4 = Y[None, None, :, :]
             w = K[None, None, :, :].astype(Y.dtype)
             return lax.conv_general_dilated(
-                x4, w, (1, 1), "SAME", precision=pr
+                x4, w, (1, 1), pad, precision=pr
             )[0, 0]
 
     def f_p(x, p):
