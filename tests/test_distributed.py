@@ -1,7 +1,6 @@
-"""Multi-process distributed runtime test: spawns TWO real OS processes,
-each owning half the devices of one global mesh (CPU backend, Gloo
-collectives), and asserts the globally-sharded batched solve equals a
-single-device solve.
+"""Multi-process distributed runtime tests: spawn real OS processes, each
+owning a slice of one global mesh (CPU backend, Gloo collectives), and
+assert the globally-sharded batched solve equals a single-device solve.
 
 The reference has no distributed backend at all (SURVEY.md §2.6); this is
 the multi-host execution path of the TPU-native build, exercised the way
@@ -26,11 +25,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_solve_matches_single():
+def _run_parity_workers(n_processes: int, local_devices: int) -> None:
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+    )
     env["PYTHONPATH"] = str(REPO)
     procs = [
         subprocess.Popen(
@@ -41,9 +42,11 @@ def test_two_process_sharded_solve_matches_single():
                 "--coordinator",
                 f"localhost:{port}",
                 "--num-processes",
-                "2",
+                str(n_processes),
                 "--process-id",
                 str(i),
+                "--local-devices",
+                str(local_devices),
                 "--platform",
                 "cpu",
             ],
@@ -53,7 +56,7 @@ def test_two_process_sharded_solve_matches_single():
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for i in range(2)
+        for i in range(n_processes)
     ]
     outs = []
     try:
@@ -66,4 +69,16 @@ def test_two_process_sharded_solve_matches_single():
                 p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
-        assert f"PARITY_OK process={i}/2" in out, out[-2000:]
+        assert f"PARITY_OK process={i}/{n_processes}" in out, out[-2000:]
+
+
+def test_two_process_sharded_solve_matches_single():
+    _run_parity_workers(2, 2)
+
+
+def test_four_process_sharded_solve_matches_single():
+    """Four OS processes, one device each — the one-process-per-host
+    launch shape at a wider fan-out than the 2-process case (catches
+    collectives/packing bugs that only appear past two participants,
+    e.g. gather orderings that happen to commute with two)."""
+    _run_parity_workers(4, 1)
