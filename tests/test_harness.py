@@ -216,3 +216,22 @@ def test_gap_bench_tiny():
     assert rows[1e-8]["iterations"] >= rows[1e-6]["iterations"]
     for r in rows.values():
         assert r["raw_s"] > 0 and r["public_s"] > 0
+
+
+def test_solver_options_is_static_pytree():
+    """SolverOptions rides through jit/tree transforms as a static node
+    (hashable config in the treedef, zero leaves)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zfista_tpu import SolverOptions
+
+    opts = SolverOptions(nesterov=True)
+    assert jax.tree.leaves(opts) == []
+
+    @jax.jit
+    def fn(pair):
+        x, o = pair
+        return x * (2.0 if o.nesterov else 3.0)
+
+    np.testing.assert_array_equal(fn((jnp.ones(2), opts)), [2.0, 2.0])

@@ -200,3 +200,38 @@ def test_wsum_prox_none_shifts():
     np.testing.assert_array_equal(
         np.asarray(p_none(w, x)), np.asarray(p_zero(w, x))
     )
+
+
+def test_integer_design_matrix_keeps_regularization():
+    """An int-dtype A must not truncate the packed lambda scalar to 0
+    (round-3 finding: jnp.asarray(0.01, int32) == 0 made solve() run
+    silently unregularized)."""
+    import jax.numpy as jnp
+
+    from zfista_tpu.models.lasso import Lasso
+    from zfista_tpu.models.logistic import SparseLogistic
+
+    A_int = np.array([[1, 0], [0, 1], [1, 1]], dtype=np.int32)
+    lp = Lasso(A_int, np.array([1.0, 1.0, 2.0]), l1_ratio=0.5)
+    assert jnp.issubdtype(lp.A.dtype, jnp.floating)
+    res = lp.solve_fixed_step(np.zeros(2), max_iter=2000)
+    # with lambda = 0.5 the solution is visibly shrunk vs least squares
+    ls = np.linalg.lstsq(A_int.astype(float), [1.0, 1.0, 2.0], rcond=None)[0]
+    assert np.abs(res.x).sum() < np.abs(ls).sum() - 0.05
+
+    sl = SparseLogistic(A_int, [1, -1, 1], l1_ratio=0.3)
+    assert jnp.issubdtype(sl.A.dtype, jnp.floating)
+    assert float(sl._params[2]) == 0.3
+
+
+def test_l1_ratios_shape_validation_and_host_constants():
+    """(m, 1)-shaped l1_ratios must raise at construction (not corrupt
+    g() downstream), and the stored constants are host float64 (immune
+    to the construct-before-x64 float32 freeze)."""
+    from zfista_tpu.models.zoo import JOS1
+
+    with pytest.raises(ValueError, match="l1_ratios"):
+        JOS1(n_features=5, l1_ratios=[[0.1], [0.2]], l1_shifts=[0.0, 0.0])
+    p = JOS1(n_features=5, l1_ratios=[0.1, 0.2], l1_shifts=[0.0, -1.0])
+    assert isinstance(p.l1_ratios, np.ndarray)
+    assert p.l1_ratios.dtype == np.float64

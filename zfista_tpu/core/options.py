@@ -1,4 +1,4 @@
-"""SolverOptions: the solver's keyword arguments as one (pytree) dataclass.
+"""SolverOptions: the solver's keyword arguments as one frozen dataclass.
 
 The reference has no config system — pure kwargs with defaults
 (zfista/proximal_gradient.py:311-331).  The facade here stays
@@ -7,13 +7,20 @@ configuration around (sweeps, services, serialized experiment specs):
 
     opts = SolverOptions(nesterov=True, tol=1e-6)
     res = prob.minimize_proximal_gradient(x0, **opts.kwargs())
+
+Registered as a STATIC jax pytree node (``register_static``): every
+field is solver configuration, not data, so an options object can ride
+through ``jax.jit``/``jax.tree`` transparently as part of the treedef
+(it is hashable and compared by value for the jit cache).
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
+
+import jax
 
 
 @dataclass(frozen=True)
@@ -47,3 +54,7 @@ class SolverOptions:
         from dataclasses import replace as _replace
 
         return _replace(self, **changes)
+
+
+# Static node: configuration is part of the program, not its data.
+jax.tree_util.register_static(SolverOptions)

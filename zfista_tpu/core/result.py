@@ -43,4 +43,8 @@ class SolveResult(dict):
 TERMINATION_MESSAGES = {
     0: "Maximum number of iterations reached",
     1: "Optimization terminated successfully",
+    # status 2 = line-search failure; "Error: " prefix matches the
+    # reference's partial-result message format
+    # (reference proximal_gradient.py:493-509)
+    2: "Error: Backtracking failed to find a suitable stepsize.",
 }

@@ -954,7 +954,7 @@ def minimize_proximal_gradient(
     if failed:
         res.success = False
         res.status = 2
-        res.message = "Error: Backtracking failed to find a suitable stepsize."
+        res.message = TERMINATION_MESSAGES[2]
     elif converged:
         res.success = True
         res.status = 1

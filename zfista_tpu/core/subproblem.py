@@ -47,13 +47,13 @@ batches and compiles into the outer solver loop as a single XLA program.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
 from jax import lax
 
 from zfista_tpu._typing import Array
+from zfista_tpu.ops.precision import dot_hp, matmul_hp
 from zfista_tpu.ops.prox import project_simplex
 
 # All products in the dual are exact f32/f64: under vmap they lower to MXU
@@ -61,12 +61,12 @@ from zfista_tpu.ops.prox import project_simplex
 # outer solver's error criterion from ever reaching tol (the solver
 # plateaus at ~1e-3).  GEMV/small-matmul here is bandwidth-bound, so full
 # precision costs nothing.
-_DOT = partial(jnp.matmul, precision=lax.Precision.HIGHEST)
+_DOT = matmul_hp
 #: Full-precision vector-vector dot.  Same rationale as _DOT: under vmap a
 #: batched inner product lowers to a batched dot_general that MAY take the
 #: MXU's bf16 default; these dots feed accept/stall decisions (model
 #: values, Armijo tests) where 1e-3 relative noise breaks convergence.
-_VDOT = partial(jnp.dot, precision=lax.Precision.HIGHEST)
+_VDOT = dot_hp
 
 
 class SubproblemResult(NamedTuple):

@@ -46,21 +46,36 @@ class Problem:
         self.n_objectives = n_objectives
         self._l1_ratios_raw = l1_ratios
         self._l1_shifts_raw = l1_shifts
+        # HOST float64 constants, cast to the trace dtype at use: a jnp
+        # array materialized here would freeze to float32 if the problem
+        # is constructed before jax_enable_x64 flips, silently carrying
+        # float32 rounding into float64 reference-parity solves (the trap
+        # SD's own constants avoid the same way, zoo.py).
         # atleast_1d: a scalar argument must hit the intended ValueError
         # below, not an opaque `len() of unsized object` TypeError.
         self.l1_ratios = (
-            None if l1_ratios is None else jnp.atleast_1d(jnp.asarray(l1_ratios))
+            None
+            if l1_ratios is None
+            else np.atleast_1d(np.asarray(l1_ratios, np.float64))
         )
         self.l1_shifts = (
-            jnp.zeros(n_objectives)
+            np.zeros(n_objectives)
             if l1_shifts is None
-            else jnp.atleast_1d(jnp.asarray(l1_shifts))
+            else np.atleast_1d(np.asarray(l1_shifts, np.float64))
         )
         self.bounds = bounds
-        if l1_ratios is not None and len(self.l1_ratios) != n_objectives:
-            raise ValueError("len(l1_ratios) should equal n_objectives.")
-        if l1_shifts is not None and len(self.l1_shifts) != n_objectives:
-            raise ValueError("len(l1_shifts) should equal n_objectives.")
+        # Full-shape validation: a (m, 1) array passes a len() check but
+        # broadcasts g() to (m, m) and corrupts the solve downstream.
+        if l1_ratios is not None and self.l1_ratios.shape != (n_objectives,):
+            raise ValueError(
+                f"l1_ratios must have shape ({n_objectives},); "
+                f"got {self.l1_ratios.shape}"
+            )
+        if l1_shifts is not None and self.l1_shifts.shape != (n_objectives,):
+            raise ValueError(
+                f"l1_shifts must have shape ({n_objectives},); "
+                f"got {self.l1_shifts.shape}"
+            )
         self._prox = make_wsum_shifted_l1_box_prox(
             self.l1_ratios,
             self.l1_shifts,

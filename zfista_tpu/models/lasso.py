@@ -27,7 +27,6 @@ the n×n Gram is impossible).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -36,13 +35,24 @@ from jax import lax
 from zfista_tpu._typing import Array
 from zfista_tpu.core.solver import minimize_proximal_gradient
 from zfista_tpu.models.base import Problem
+from zfista_tpu.ops.precision import matmul_hp
 from zfista_tpu.ops.prox import soft_threshold
 
 # Exact f32 products: under vmap these matvecs become MXU matmuls whose TPU
 # default precision is bf16 — the resulting gradient noise floors the
 # solver at ~1e-3.  Bandwidth-bound either way; HIGHEST measured at-or-
 # faster than DEFAULT on v5e (BENCHMARKS.md).
-_DOT = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+_DOT = matmul_hp
+
+
+def _as_float(A) -> Array:
+    """Float-dtype operand: an integer A would truncate the lambda/mu
+    scalars packed with it into the params tuple (e.g.
+    ``jnp.asarray(0.01, int32) == 0`` — a silently unregularized solve)."""
+    A = jnp.asarray(A)
+    if not jnp.issubdtype(A.dtype, jnp.floating):
+        A = A.astype(jnp.zeros(0).dtype)
+    return A
 
 
 @partial(jax.jit, static_argnames=("n_iter",))
@@ -70,8 +80,8 @@ class Lasso(Problem):
     """
 
     def __init__(self, A, b, l1_ratio: float, l2_ratio: float = 0.0) -> None:
-        self.A = jnp.asarray(A)
-        self.b = jnp.asarray(b)
+        self.A = _as_float(A)
+        self.b = jnp.asarray(b, self.A.dtype)
         self.l1_ratio = float(l1_ratio)
         self.l2_ratio = float(l2_ratio)
         super().__init__(
@@ -237,8 +247,8 @@ class GroupLasso(Problem):
     """
 
     def __init__(self, A, b, l1_ratio: float, group_size: int) -> None:
-        self.A = jnp.asarray(A)
-        self.b = jnp.asarray(b)
+        self.A = _as_float(A)
+        self.b = jnp.asarray(b, self.A.dtype)
         self.l1_ratio = float(l1_ratio)
         self.group_size = int(group_size)
         if self.A.shape[1] % self.group_size:

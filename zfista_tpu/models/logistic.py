@@ -21,14 +21,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from zfista_tpu._typing import Array
 from zfista_tpu.core.solver import minimize_proximal_gradient
 from zfista_tpu.models.lasso import operator_norm_sq
+from zfista_tpu.ops.precision import dot_hp
 from zfista_tpu.ops.prox import soft_threshold
 
-_DOT = lambda a, b: jnp.dot(a, b, precision=lax.Precision.HIGHEST)
+_DOT = dot_hp
 
 
 class SparseLogistic:
@@ -40,7 +40,13 @@ class SparseLogistic:
     affect ``solve`` (construct a new instance instead)."""
 
     def __init__(self, A, y, l1_ratio: float = 0.01) -> None:
-        self.A = jnp.asarray(A)
+        A = jnp.asarray(A)
+        if not jnp.issubdtype(A.dtype, jnp.floating):
+            # Integer design matrices would truncate the l1_ratio scalar
+            # to 0 in the params tuple (solver silently unregularized
+            # while g/kkt_residual still use the float lambda).
+            A = A.astype(jnp.zeros(0).dtype)
+        self.A = A
         y = jnp.asarray(y)
         if not bool(jnp.all(jnp.abs(y) == 1)):
             raise ValueError("labels must be -1/+1")
@@ -54,21 +60,20 @@ class SparseLogistic:
             jnp.asarray(self.l1_ratio, self.A.dtype),
         )
 
+    # Methods delegate to the module-level params callables below — ONE
+    # copy of the softplus/sigmoid margin math, so the solve path and the
+    # external kkt_residual certificate can never drift numerically.
     def f(self, x: Array) -> Array:
-        margins = self.y * _DOT(self.A, x)
-        return jnp.mean(jax.nn.softplus(-margins))
+        return _logistic_f_p(x, self._params)[0]
 
     def jac_f(self, x: Array) -> Array:
-        margins = self.y * _DOT(self.A, x)
-        # d softplus(-t)/dt = -sigmoid(-t)
-        coef = -jax.nn.sigmoid(-margins) * self.y / self.n_samples
-        return _DOT(self.A.T, coef)
+        return _logistic_jac_p(x, self._params)[0]
 
     def g(self, x: Array) -> Array:
-        return self.l1_ratio * jnp.sum(jnp.abs(x))
+        return _logistic_g_p(x, self._params)[0]
 
     def prox_wsum_g(self, weight, x: Array) -> Array:
-        return soft_threshold(x, jnp.asarray(weight) * self.l1_ratio)
+        return _logistic_prox_p(jnp.asarray(weight), x, self._params)
 
     def lipschitz(self, n_iter: int = 50) -> float:
         """Global bound ``L = lambda_max(A^T A) / (4 m)`` (the logistic

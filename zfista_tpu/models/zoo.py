@@ -10,20 +10,19 @@ Analytic Jacobians are provided (and tested against autodiff).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Sequence
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from zfista_tpu._typing import Array
 from zfista_tpu.models.base import Problem
+from zfista_tpu.ops.precision import dot_hp
 
 # Exact products: under vmap these contractions lower to MXU matmuls whose
 # TPU default precision is bf16, which floors the solver's convergence
-# (see DESIGN.md precision policy).
-_dot = partial(jnp.dot, precision=lax.Precision.HIGHEST)
+# (shared policy helper: zfista_tpu.ops.precision).
+_dot = dot_hp
 
 _SQRT2 = math.sqrt(2.0)
 

@@ -78,12 +78,8 @@ class BatchResult(SolveResult):
                 error_criterion=float(self.error_criterion[i]),
                 success=bool(self.success[i]),
                 status=int(self.status[i]),
-                message=(
-                    "Error: Backtracking failed to find a suitable stepsize."
-                    if int(self.status[i]) == 2
-                    else TERMINATION_MESSAGES.get(
-                        int(self.status[i]), self.message
-                    )
+                message=TERMINATION_MESSAGES.get(
+                    int(self.status[i]), self.message
                 ),
                 time=self.time / n,  # amortized wall time per lane
                 tol=self.tol,
