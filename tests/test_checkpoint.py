@@ -147,3 +147,35 @@ def test_annotate_decorator_and_ctx():
     assert f(1) == 2
     with annotate("scope"):
         pass
+
+
+def test_annotate_reentrant():
+    """One annotation object entered reentrantly must close scopes LIFO
+    (round-3 finding: a single-slot ctx closed the wrong scope twice)."""
+    from zfista_tpu.utils.profiling import annotate
+
+    ann = annotate("outer")
+    with ann:
+        with ann:
+            pass
+    # exits balanced: a fresh enter still works
+    with ann:
+        pass
+
+
+def test_save_state_atomic_no_tmp_left(tmp_path):
+    """save_state writes via tmp+rename: no temp files survive, and the
+    checkpoint loads (round-3 finding: a crash mid-savez left a
+    truncated npz)."""
+    import jax.numpy as jnp
+
+    from zfista_tpu.core.solver import init_state
+    from zfista_tpu.utils.checkpoint import load_state, save_state
+
+    st = init_state(jnp.zeros(4), jnp.zeros(1), 1, 0.5)
+    path = tmp_path / "ckpt.npz"
+    save_state(st, path)
+    leftovers = [p for p in tmp_path.iterdir() if "tmp" in p.name]
+    assert leftovers == []
+    st2 = load_state(path)
+    assert st2.x.shape == (4,)
