@@ -319,7 +319,7 @@ class TVDeblur:
         kernel: np.ndarray | None = None,
         prox_iter: int = 30,
         isotropic: bool = True,
-        prox_method: str = "xla",
+        prox_method: str = "auto",
     ) -> None:
         self.b = jnp.asarray(observed)
         if self.b.ndim != 2:
@@ -328,10 +328,12 @@ class TVDeblur:
         self.tv_ratio = float(tv_ratio)
         self.prox_iter = int(prox_iter)
         self.isotropic = bool(isotropic)
-        # "pallas" runs the FGP dual loop VMEM-resident per prox call
-        # (ops/tv_pallas; falls back to XLA above the VMEM budget and on
-        # non-TPU backends; "pallas_interpret" forces the interpreted
-        # kernel anywhere — the CPU test path, never for real work).
+        # "auto" (default) = the FGP dual loop as a VMEM-resident Pallas
+        # kernel per prox call on TPU (ops/tv_pallas; measured 1.06-1.21x
+        # XLA, BENCHMARKS.md "TV prox kernel on device"), XLA above the
+        # VMEM budget and on non-TPU backends; "xla" forces the XLA loop
+        # everywhere; "pallas_interpret" forces the interpreted kernel
+        # anywhere — the CPU test path, never for real work.
         self.prox_method = str(prox_method)
         self._blur = make_blur(self.kernel)
         self._blur_T = make_blur(self.kernel, adjoint=True)
@@ -491,7 +493,7 @@ def _tv_warm_driver(
     max_iter: int,
     prox_iter: int,
     isotropic: bool,
-    prox_method: str = "xla",
+    prox_method: str = "auto",
 ):
     """Whole warm-dual TV-deblur solve as one XLA program.
 
@@ -555,7 +557,7 @@ _TV_CALLABLES: dict = {}
 
 
 def _tv_deblur_callables(
-    prox_iter: int, isotropic: bool, separable: bool, prox_method: str = "xla"
+    prox_iter: int, isotropic: bool, separable: bool, prox_method: str = "auto"
 ):
     key = (int(prox_iter), bool(isotropic), bool(separable), str(prox_method))
     fns = _TV_CALLABLES.get(key)

@@ -72,7 +72,7 @@ def prox_tv(
     isotropic: bool = True,
     return_dual: bool = False,
     dual0: tuple[Array, Array] | None = None,
-    method: str = "xla",
+    method: str = "auto",
 ) -> Array | tuple[Array, tuple[Array, Array]]:
     r"""Prox of ``lam * TV``: ``argmin_u 0.5 ||u - v||^2 + lam TV(u)``.
 
@@ -98,18 +98,26 @@ def prox_tv(
     (:mod:`zfista_tpu.ops.tv_pallas`) — the XLA ``fori_loop`` round-trips
     the carry through HBM each iteration.  Images that exceed the VMEM
     budget (~512x512 float32) and non-TPU backends fall back to the XLA
-    loop.  ``method="pallas_interpret"`` forces the kernel through the
-    Pallas interpreter on any backend — the CPU test/debug path (orders
-    of magnitude slower than XLA; never use it for real work).  Same
-    math, NOT bitwise (different FMA scheduling); parity is pinned to
-    ~1e-6 by tests.
+    loop.  ``method="auto"`` (the default) IS that dispatch rule spelled
+    out: the kernel wherever it applies, XLA everywhere else — it is the
+    default because the kernel is measured faster on TPU at every size
+    that fits (1.06-1.21x cold, 1.15x nested in ``TVDeblur.solve_warm``;
+    BENCHMARKS.md "TV prox kernel on device").  ``method="xla"`` forces
+    the XLA loop everywhere (bitwise-reproducible across backends).
+    ``method="pallas_interpret"`` forces the kernel through the Pallas
+    interpreter on any backend — the CPU test/debug path (orders of
+    magnitude slower than XLA; never use it for real work).  Same math,
+    NOT bitwise (different FMA scheduling); parity is pinned to ~1e-6 by
+    tests.
     """
     lam = jnp.asarray(lam, v.dtype)
-    if method not in ("xla", "pallas", "pallas_interpret"):
+    if method not in ("auto", "xla", "pallas", "pallas_interpret"):
         raise ValueError(
-            "method must be 'xla', 'pallas' or 'pallas_interpret'; "
-            f"got {method!r}"
+            "method must be 'auto', 'xla', 'pallas' or 'pallas_interpret';"
+            f" got {method!r}"
         )
+    if method == "auto":
+        method = "pallas"
     interpret = method == "pallas_interpret"
     use_kernel = interpret or (
         method == "pallas" and jax.default_backend() == "tpu"
