@@ -312,3 +312,38 @@ def test_pallas_interpret_ignores_vmem_cap():
     assert spy.call_count == 1
     u_x = prox_tv(jnp.float32(0.1), v, n_iter=2)
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_x), atol=1e-6)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="real Mosaic kernel needs a TPU"
+)
+def test_prox_tv_pallas_on_tpu_parity():
+    """The REAL Mosaic-compiled kernel (not the interpreter) vs the XLA
+    loop, on actual TPU hardware.  The CPU suite covers the kernel only
+    through the Pallas interpreter, which cannot catch Mosaic
+    compile/layout bugs; this test runs wherever a TPU backend is
+    attached (skipped on the CPU mesh).  Contract is ~1e-5 tolerance +
+    matching dual-gap certificate; on the current toolchain the match is
+    observed BITWISE (v5e, round 3) — asserted at tolerance so a benign
+    scheduler change does not break the suite."""
+    from zfista_tpu.ops.tv import prox_tv, tv_dual_gap
+
+    rng = np.random.default_rng(7)
+    for shape in [(24, 40), (256, 256), (100, 224)]:
+        v = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        lam = jnp.asarray(0.15, jnp.float32)
+        for iso in (True, False):
+            u_x, d_x = prox_tv(
+                lam, v, n_iter=30, isotropic=iso, return_dual=True,
+                method="xla",
+            )
+            u_p, d_p = prox_tv(
+                lam, v, n_iter=30, isotropic=iso, return_dual=True,
+                method="pallas",
+            )
+            np.testing.assert_allclose(
+                np.asarray(u_p), np.asarray(u_x), atol=1e-5
+            )
+            g_x = float(tv_dual_gap(lam, v, u_x, d_x, isotropic=iso))
+            g_p = float(tv_dual_gap(lam, v, u_p, d_p, isotropic=iso))
+            np.testing.assert_allclose(g_p, g_x, rtol=1e-3, atol=1e-6)
