@@ -304,3 +304,85 @@ def test_batch_chunk_validation_and_per_lane_ratio(toy_lasso):
     lanes = res.to_list()
     assert lanes[0].nesterov_ratio == (0.0, 0.25)
     assert lanes[1].nesterov_ratio == (0.5, 0.25)
+
+
+def test_lane_chunked_matches_unchunked():
+    """lane_chunk must be a pure capacity knob: chunked (with a padded
+    ragged tail) == unchunked, lane-for-lane, across iterates, counters,
+    per-lane momentum pairs, histories (different chunk lengths padded +
+    masked), and the resumable State."""
+    prob = JOS1(n_features=5)
+    rng = np.random.default_rng(3)
+    B = 10
+    x0s = jnp.asarray(rng.uniform(-2, 4, size=(B, 5)))
+    ab = np.column_stack(
+        [rng.uniform(0.0, 0.9, B), rng.uniform(0.05, 0.25, B)]
+    )
+    kw = dict(nesterov=True, history=True, record_vecs=True, tol=1e-6)
+    full = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s,
+        batch_nesterov_ratio=ab, **kw,
+    )
+    # 10 lanes in chunks of 4: two full chunks + a padded 2-lane tail.
+    chunked = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s,
+        batch_nesterov_ratio=ab, lane_chunk=4, **kw,
+    )
+    np.testing.assert_array_equal(chunked.nit, full.nit)
+    np.testing.assert_array_equal(chunked.success, full.success)
+    np.testing.assert_allclose(chunked.x, full.x, atol=1e-12)
+    np.testing.assert_allclose(chunked.fun, full.fun, atol=1e-12)
+    np.testing.assert_allclose(
+        chunked.nesterov_ratio, full.nesterov_ratio, atol=0
+    )
+    # Histories: per-lane views must agree (the chunked result pads T
+    # internally; to_list masks the filler out).
+    for rc, rf in zip(chunked.to_list(), full.to_list()):
+        assert len(rc.allfuns) == len(rf.allfuns)
+        np.testing.assert_allclose(
+            np.asarray(rc.allfuns), np.asarray(rf.allfuns), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(rc.allvecs), np.asarray(rf.allvecs), atol=1e-12
+        )
+        np.testing.assert_allclose(rc.allerrs, rf.allerrs, atol=1e-12)
+    # The merged State must be the full-width carry (resumable).
+    assert chunked.state is not None
+    np.testing.assert_allclose(chunked.state.x, full.state.x, atol=1e-12)
+    np.testing.assert_array_equal(chunked.state.nit, full.state.nit)
+
+
+def test_lane_chunked_params_and_resume(toy_lasso):
+    """lane_chunk composes with batch_params (λ-sweep) and with
+    initial_states resume: a chunked resumed run continues exactly."""
+    A, b = toy_lasso
+    f, g, jac_f, prox = make_lasso_lambda_sweep(A, b)
+    lams = jnp.array([1e-8, 0.1, 0.5, 1.0, 0.2])
+    x0s = jnp.zeros((5, 1))
+    kw = dict(lr=0.4, nesterov=True)
+    res = minimize_proximal_gradient_batch(
+        f, g, jac_f, prox, x0s, batch_params=lams, lane_chunk=2, **kw
+    )
+    np.testing.assert_allclose(
+        res.x[:, 0], [1.0, 0.95, 0.75, 0.5, 0.9], atol=1e-4
+    )
+    # Resume path: stop early, continue chunked; must match one full run.
+    short = minimize_proximal_gradient_batch(
+        f, g, jac_f, prox, x0s, batch_params=lams, max_iter=3, **kw
+    )
+    cont = minimize_proximal_gradient_batch(
+        f, g, jac_f, prox, x0s, batch_params=lams,
+        initial_states=short.state, lane_chunk=2, **kw,
+    )
+    np.testing.assert_allclose(cont.x[:, 0], res.x[:, 0], atol=1e-10)
+    # Validation: bad chunk size and sharding+chunking both raise.
+    with pytest.raises(ValueError, match="lane_chunk"):
+        minimize_proximal_gradient_batch(
+            f, g, jac_f, prox, x0s, batch_params=lams, lane_chunk=0, **kw
+        )
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="in_sharding"):
+        minimize_proximal_gradient_batch(
+            f, g, jac_f, prox, x0s, batch_params=lams, lane_chunk=2,
+            in_sharding=batch_sharding(mesh), **kw,
+        )

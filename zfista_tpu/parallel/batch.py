@@ -134,6 +134,142 @@ def _host_array(a: Any) -> np.ndarray:
     return np.asarray(a)
 
 
+def _lane_chunked_solve(
+    f,
+    g,
+    jac_f,
+    prox_wsum_g,
+    x0s,
+    *,
+    batch_params,
+    batch_nesterov_ratio,
+    initial_states,
+    lane_chunk,
+    keep_state,
+    start,
+    solver_kwargs,
+) -> "BatchResult":
+    """Run :func:`minimize_proximal_gradient_batch` in batch-axis chunks of
+    ``lane_chunk`` lanes and concatenate the per-lane results.
+
+    Every chunk is PADDED to exactly ``lane_chunk`` lanes (duplicating its
+    first lane) so all device calls share ONE compiled program — a ragged
+    tail chunk would retrace+recompile from scratch.  Padded lanes are
+    trimmed before concatenation, so the merged result is lane-for-lane
+    what the unchunked call returns (pinned by tests/test_batch.py).
+
+    This is the device-capacity workaround for very wide m>=3 batches:
+    the vmapped semismooth-Newton dual program faults this TPU backend
+    above ~1024 lanes (DESIGN.md known limitations; re-confirmed round 3:
+    FDS m=3 runs clean at B=1024, "TPU device error" at B=1536).
+    """
+    B = int(x0s.shape[0])
+    K = int(lane_chunk)
+
+    def _cut(tree, s, e):
+        pad = K - (e - s)
+
+        def one(a):
+            seg = np.asarray(a)[s:e]
+            if pad:
+                seg = np.concatenate([seg, np.repeat(seg[:1], pad, axis=0)])
+            return seg
+
+        return jax.tree.map(one, tree)
+
+    parts: list[BatchResult] = []
+    counts: list[int] = []
+    for s in range(0, B, K):
+        e = min(s + K, B)
+        part = minimize_proximal_gradient_batch(
+            f,
+            g,
+            jac_f,
+            prox_wsum_g,
+            _cut(x0s, s, e),
+            batch_params=(
+                None if batch_params is None else _cut(batch_params, s, e)
+            ),
+            batch_nesterov_ratio=(
+                None
+                if batch_nesterov_ratio is None
+                else _cut(batch_nesterov_ratio, s, e)
+            ),
+            initial_states=(
+                None if initial_states is None else _cut(initial_states, s, e)
+            ),
+            keep_state=keep_state,
+            **solver_kwargs,
+        )
+        parts.append(part)
+        counts.append(e - s)
+
+    first = parts[0]
+
+    def cat(key):
+        return np.concatenate(
+            [np.asarray(p[key])[:c] for p, c in zip(parts, counts)], axis=0
+        )
+
+    res = BatchResult(
+        x0=cat("x0"),
+        x=cat("x"),
+        fun=cat("fun"),
+        weight=cat("weight"),
+        nit=cat("nit"),
+        nit_internal=cat("nit_internal"),
+        lr=cat("lr"),
+        error_criterion=cat("error_criterion"),
+        success=cat("success"),
+        status=cat("status"),
+        message=first.message,
+        time=_time.perf_counter() - start,
+        tol=first.tol,
+        tol_internal=first.tol_internal,
+        nesterov=first.nesterov,
+        nesterov_ratio=(
+            cat("nesterov_ratio")
+            if getattr(first.nesterov_ratio, "ndim", 0) == 2
+            else first.nesterov_ratio
+        ),
+    )
+    if first.get("allfuns") is not None:
+        # Chunks stop at different iteration counts; pad every history to
+        # the longest T.  Padded steps carry mask=False, so ``to_list``
+        # (which filters on history_mask) never surfaces the filler.
+        T = max(np.asarray(p.allfuns).shape[1] for p in parts)
+
+        def cat_hist(key, fill):
+            segs = []
+            for p, c in zip(parts, counts):
+                a = np.asarray(p[key])[:c]
+                if a.shape[1] < T:
+                    widths = [(0, 0), (0, T - a.shape[1])]
+                    widths += [(0, 0)] * (a.ndim - 2)
+                    a = np.pad(a, widths, constant_values=fill)
+                segs.append(a)
+            return np.concatenate(segs, axis=0)
+
+        res.allfuns = cat_hist("allfuns", np.nan)
+        res.allerrs = cat_hist("allerrs", np.nan)
+        res.history_mask = cat_hist("history_mask", False)
+        res.F0 = cat("F0")
+        if first.get("allvecs") is not None:
+            res.allvecs = cat_hist("allvecs", np.nan)
+            if first.get("vec_head") is not None:
+                res.vec_head = cat("vec_head")
+    if keep_state and first.state is not None:
+        res.state = jax.tree.map(
+            lambda *ls: np.concatenate(
+                [np.asarray(a)[:c] for a, c in zip(ls, counts)], axis=0
+            ),
+            *[p.state for p in parts],
+        )
+    else:
+        res.state = None
+    return res
+
+
 def minimize_proximal_gradient_batch(
     f: Callable,
     g: Callable,
@@ -163,6 +299,7 @@ def minimize_proximal_gradient_batch(
     initial_states: State | None = None,
     keep_state: bool = True,
     iter_chunk: int | None = None,
+    lane_chunk: int | None = None,
 ) -> BatchResult:
     r"""Solve a batch of independent problems as one vmapped XLA program.
 
@@ -184,6 +321,15 @@ def minimize_proximal_gradient_batch(
 
     Returns a :class:`BatchResult`; per-solve views via ``.to_list()``.
 
+    ``lane_chunk`` bounds how many lanes one device program carries: the
+    batch is split into identically-shaped (tail-padded) chunks of
+    ``lane_chunk`` lanes — all sharing ONE compiled program — and the
+    results are concatenated lane-for-lane.  This is the device-capacity
+    workaround for very wide m>=3 batches (the vmapped semismooth-Newton
+    dual faults this TPU backend above ~1024 lanes, DESIGN.md known
+    limitations) and a kernel-runtime bound for heavy sweeps.  It is a
+    single-process knob: combining it with ``in_sharding`` raises.
+
     **Freeze contract** (same as the single-solve facade): repeat batch
     solves with the same callables, shapes and options reuse one compiled
     program, so the callables must be pure and frozen — per-solve data
@@ -194,6 +340,49 @@ def minimize_proximal_gradient_batch(
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n_features); got {x0s.shape}")
+    if lane_chunk is not None:
+        if int(lane_chunk) < 1:
+            raise ValueError(f"lane_chunk must be >= 1; got {lane_chunk}")
+        if int(lane_chunk) < int(x0s.shape[0]):
+            if in_sharding is not None:
+                raise ValueError(
+                    "lane_chunk cannot be combined with in_sharding: "
+                    "chunking is a single-process device-capacity knob — "
+                    "shard OR chunk the batch axis, not both"
+                )
+            return _lane_chunked_solve(
+                f,
+                g,
+                jac_f,
+                prox_wsum_g,
+                x0s,
+                batch_params=batch_params,
+                batch_nesterov_ratio=batch_nesterov_ratio,
+                initial_states=initial_states,
+                lane_chunk=int(lane_chunk),
+                keep_state=keep_state,
+                start=start,
+                solver_kwargs=dict(
+                    lr=lr,
+                    tol=tol,
+                    tol_internal=tol_internal,
+                    max_iter=max_iter,
+                    max_iter_internal=max_iter_internal,
+                    max_backtrack_iter=max_backtrack_iter,
+                    warm_start=warm_start,
+                    decay_rate=decay_rate,
+                    nesterov=nesterov,
+                    nesterov_ratio=nesterov_ratio,
+                    deprecated=deprecated,
+                    history=history,
+                    history_chunk=history_chunk,
+                    record_vecs=record_vecs,
+                    check_every=check_every,
+                    adaptive_restart=adaptive_restart,
+                    project_momentum=project_momentum,
+                    iter_chunk=iter_chunk,
+                ),
+            )
     if batch_nesterov_ratio is not None:
         # A per-lane momentum grid implies acceleration; running it with
         # nesterov=False would silently measure plain ISTA for every pair.
