@@ -99,89 +99,27 @@ def momentum_sweep(
 
     # lane_chunk bounds the size (and so the kernel runtime) of each device
     # call: one monolithic while_loop over 15k heavy lanes can outlive the
-    # device watchdog; chunks of a few thousand lanes never do.  The last
-    # chunk is PADDED to the full chunk size (duplicating its first lane)
-    # so every call shares one compiled program — a ragged tail chunk
-    # would recompile from scratch (minutes on a cold cache).
-    B = len(x0_lanes)
-    if lane_chunk is not None and int(lane_chunk) < 1:
-        raise ValueError(f"lane_chunk must be >= 1; got {lane_chunk}")
-    chunk = B if lane_chunk is None else min(int(lane_chunk), B)
+    # device watchdog; chunks of a few thousand lanes never do.  Chunking,
+    # tail padding and lane-for-lane result merging live in the batch API
+    # itself (minimize_proximal_gradient_batch(lane_chunk=...)) since
+    # round 3 — this harness just forwards the knob.
+    # nesterov defaults True (a momentum sweep), but stays overridable:
+    # an explicit nesterov= in solver_kwargs must not collide with a
+    # positional duplicate.
+    solver_kwargs.setdefault("nesterov", True)
     t0 = time.perf_counter()
-    parts = []
-    for s in range(0, B, chunk):
-        end = min(s + chunk, B)
-        x0_c = x0_lanes[s:end]
-        ab_c = ab_lanes[s:end]
-        pad = chunk - (end - s)
-        if pad:
-            x0_c = np.concatenate([x0_c, np.repeat(x0_c[:1], pad, axis=0)])
-            ab_c = np.concatenate([ab_c, np.repeat(ab_c[:1], pad, axis=0)])
-        # nesterov defaults True (a momentum sweep), but stays overridable:
-        # an explicit nesterov= in solver_kwargs must not collide with a
-        # positional duplicate.
-        solver_kwargs.setdefault("nesterov", True)
-        part = minimize_proximal_gradient_batch(
-            problem.f,
-            problem.g,
-            problem.jac_f,
-            problem.prox_wsum_g,
-            x0_c,
-            batch_nesterov_ratio=ab_c,
-            max_iter=max_iter,
-            **solver_kwargs,
-        )
-        if pad:
-            for key in list(part.keys()):
-                v = part[key]
-                if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == chunk:
-                    part[key] = v[: end - s]
-            if part.get("state") is not None:
-                import jax
-
-                part["state"] = jax.tree.map(
-                    lambda a: a[: end - s] if len(a) == chunk else a,
-                    part["state"],
-                )
-        parts.append(part)
+    res = minimize_proximal_gradient_batch(
+        problem.f,
+        problem.g,
+        problem.jac_f,
+        problem.prox_wsum_g,
+        x0_lanes,
+        batch_nesterov_ratio=ab_lanes,
+        max_iter=max_iter,
+        lane_chunk=lane_chunk,
+        **solver_kwargs,
+    )
     total = time.perf_counter() - t0
-    res = parts[0]
-    if len(parts) > 1:
-        # Concatenate every per-lane array field so the merged BatchResult
-        # is internally consistent (to_list(), state resume, etc.).
-        # History arrays carry a per-chunk time axis of varying length —
-        # pad each to the longest before joining on the lane axis.
-        T = max(
-            (p["allfuns"].shape[1] for p in parts if p.get("allfuns") is not None),
-            default=0,
-        )
-
-        def _pad_T(a):
-            if a.ndim >= 2 and a.shape[1] < T:
-                width = [(0, 0)] * a.ndim
-                width[1] = (0, T - a.shape[1])
-                return np.pad(a, width)
-            return a
-
-        hist_keys = {"allfuns", "allerrs", "history_mask", "allvecs"}
-        lane_keys = [
-            k
-            for k, v in parts[0].items()
-            if isinstance(v, np.ndarray) and v.ndim >= 1
-        ]
-        for key in lane_keys:
-            vals = [p[key] for p in parts]
-            if key in hist_keys:
-                vals = [_pad_T(v) for v in vals]
-            res[key] = np.concatenate(vals, axis=0)
-        if parts[0].get("state") is not None:
-            import jax
-
-            res["state"] = jax.tree.map(
-                lambda *leaves: np.concatenate(leaves, axis=0),
-                *[p["state"] for p in parts],
-            )
-        res["time"] = float(sum(p["time"] for p in parts))
 
     nit = np.asarray(res.nit).reshape(len(grid), n_starts)
     ok = np.asarray(res.success).reshape(len(grid), n_starts)
