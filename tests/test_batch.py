@@ -46,6 +46,10 @@ def test_batch_matches_single(toy_lasso):
         np.testing.assert_allclose(r.fun, single.fun, atol=1e-8)
 
 
+@pytest.mark.skipif(
+    not jax.config.jax_enable_x64,
+    reason="f64-precision parity asserts (1e-12/exact-nit) need x64",
+)
 def test_batch_multiobjective_jos1():
     prob = JOS1(n_features=5)
     rng = np.random.default_rng(0)
@@ -159,6 +163,9 @@ def test_batch_multiobjective_history_f0_row():
         np.testing.assert_allclose(np.asarray(r.allfuns[0]), F0, atol=1e-7)
 
 
+@pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="mesh placement needs >= 2 devices"
+)
 def test_batch_sharded_placement(toy_lasso):
     A, b = toy_lasso
     prob = Lasso(A, b, l1_ratio=0.1)
@@ -306,6 +313,10 @@ def test_batch_chunk_validation_and_per_lane_ratio(toy_lasso):
     assert lanes[1].nesterov_ratio == (0.5, 0.25)
 
 
+@pytest.mark.skipif(
+    not jax.config.jax_enable_x64,
+    reason="f64-precision parity asserts (1e-12/exact-nit) need x64",
+)
 def test_lane_chunked_matches_unchunked():
     """lane_chunk must be a pure capacity knob: chunked (with a padded
     ragged tail) == unchunked, lane-for-lane, across iterates, counters,

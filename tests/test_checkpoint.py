@@ -1,7 +1,9 @@
 """Checkpoint/resume: a solve interrupted at iteration k and resumed from
 its saved state must finish bitwise identical to the uninterrupted solve."""
 
+import jax
 import numpy as np
+import pytest
 
 from zfista_tpu import minimize_proximal_gradient
 from zfista_tpu.models.zoo import JOS1
@@ -58,10 +60,13 @@ def test_state_roundtrip_batched(tmp_path):
         y=res.x,
         F_x=np.atleast_2d(res.fun).reshape(len(res.x), -1),
         lr=res.lr,
-        t=np.ones(len(res.x)),
+        # dtype follows the solve (f64 on the x64 CPU mesh, f32 under the
+        # ZFISTA_TEST_PLATFORM opt-out): a float64 literal here would trip
+        # load_state's silent-downcast refusal when x64 is off.
+        t=np.ones(len(res.x), dtype=np.asarray(res.x).dtype),
         w=res.weight,
         err=res.error_criterion,
-        sub_fun=np.zeros(len(res.x)),
+        sub_fun=np.zeros(len(res.x), dtype=np.asarray(res.x).dtype),
         nit=res.nit,
         nit_internal=res.nit_internal,
         converged=res.success,
@@ -116,6 +121,11 @@ def test_checkpoint_path_without_suffix(tmp_path):
     np.testing.assert_array_equal(np.asarray(st.x), np.asarray(r.state.x))
 
 
+@pytest.mark.skipif(
+    not jax.config.jax_enable_x64,
+    reason="needs x64: without it the f64 input silently becomes f32 "
+    "and the expected refusal never triggers",
+)
 def test_load_state_refuses_silent_downcast(tmp_path):
     """A float64 checkpoint must not silently load as float32 when x64 is
     off (ADVICE r1: bitwise-identical-resume contract)."""

@@ -256,12 +256,16 @@ def test_prox_tv_pallas_matches_xla():
     )
     # method="pallas" (and the default, "auto") on a non-TPU backend
     # falls back to the XLA loop (documented contract) — bitwise
-    # identical to method="xla" here.
-    u_fb = prox_tv(lam, v, n_iter=25, method="pallas")
-    u_ref = prox_tv(lam, v, n_iter=25, method="xla")
-    np.testing.assert_array_equal(np.asarray(u_fb), np.asarray(u_ref))
-    u_auto = prox_tv(lam, v, n_iter=25)  # default method="auto"
-    np.testing.assert_array_equal(np.asarray(u_auto), np.asarray(u_ref))
+    # identical to method="xla" there.  On a TPU backend both dispatch
+    # the REAL Mosaic kernel, whose bitwise identity to the XLA loop is
+    # explicitly NOT promised (FMA scheduling); the TPU-gated test below
+    # covers that case at tolerance.
+    if jax.default_backend() != "tpu":
+        u_fb = prox_tv(lam, v, n_iter=25, method="pallas")
+        u_ref = prox_tv(lam, v, n_iter=25, method="xla")
+        np.testing.assert_array_equal(np.asarray(u_fb), np.asarray(u_ref))
+        u_auto = prox_tv(lam, v, n_iter=25)  # default method="auto"
+        np.testing.assert_array_equal(np.asarray(u_auto), np.asarray(u_ref))
     # VMEM capacity gate: images over budget report not-fitting (the prox
     # falls back to the XLA loop, so results stay exact there)
     assert tv_pallas.fits_vmem((256, 256), jnp.float32)

@@ -166,11 +166,27 @@ def _lane_chunked_solve(
     B = int(x0s.shape[0])
     K = int(lane_chunk)
 
+    # Host copies ONCE, outside the per-chunk loop: np.asarray inside the
+    # chunk loop would re-transfer every device-resident input leaf B/K
+    # times (a 15-chunk sweep would pay 15 full device->host copies).
+    x0s = np.asarray(x0s)
+    batch_params = jax.tree.map(np.asarray, batch_params)
+    batch_nesterov_ratio = (
+        None
+        if batch_nesterov_ratio is None
+        else np.asarray(batch_nesterov_ratio)
+    )
+    initial_states = (
+        None
+        if initial_states is None
+        else jax.tree.map(np.asarray, initial_states)
+    )
+
     def _cut(tree, s, e):
         pad = K - (e - s)
 
         def one(a):
-            seg = np.asarray(a)[s:e]
+            seg = a[s:e]
             if pad:
                 seg = np.concatenate([seg, np.repeat(seg[:1], pad, axis=0)])
             return seg
@@ -205,60 +221,44 @@ def _lane_chunked_solve(
         counts.append(e - s)
 
     first = parts[0]
-
-    def cat(key):
-        return np.concatenate(
-            [np.asarray(p[key])[:c] for p, c in zip(parts, counts)], axis=0
-        )
-
-    res = BatchResult(
-        x0=cat("x0"),
-        x=cat("x"),
-        fun=cat("fun"),
-        weight=cat("weight"),
-        nit=cat("nit"),
-        nit_internal=cat("nit_internal"),
-        lr=cat("lr"),
-        error_criterion=cat("error_criterion"),
-        success=cat("success"),
-        status=cat("status"),
-        message=first.message,
-        time=_time.perf_counter() - start,
-        tol=first.tol,
-        tol_internal=first.tol_internal,
-        nesterov=first.nesterov,
-        nesterov_ratio=(
-            cat("nesterov_ratio")
-            if getattr(first.nesterov_ratio, "ndim", 0) == 2
-            else first.nesterov_ratio
-        ),
+    # Histories: chunks stop at different iteration counts, so pad every
+    # history array to the longest T before joining on the lane axis.
+    # Padded steps carry history_mask=False, so ``to_list`` (which filters
+    # on the mask) never surfaces the filler.
+    hist_keys = {"allfuns", "allerrs", "history_mask", "allvecs"}
+    T = (
+        max(np.asarray(p.allfuns).shape[1] for p in parts)
+        if first.get("allfuns") is not None
+        else 0
     )
-    if first.get("allfuns") is not None:
-        # Chunks stop at different iteration counts; pad every history to
-        # the longest T.  Padded steps carry mask=False, so ``to_list``
-        # (which filters on history_mask) never surfaces the filler.
-        T = max(np.asarray(p.allfuns).shape[1] for p in parts)
 
-        def cat_hist(key, fill):
-            segs = []
-            for p, c in zip(parts, counts):
-                a = np.asarray(p[key])[:c]
-                if a.shape[1] < T:
-                    widths = [(0, 0), (0, T - a.shape[1])]
-                    widths += [(0, 0)] * (a.ndim - 2)
-                    a = np.pad(a, widths, constant_values=fill)
-                segs.append(a)
-            return np.concatenate(segs, axis=0)
+    def cat(key, hist):
+        segs = []
+        for p, c in zip(parts, counts):
+            a = np.asarray(p[key])[:c]
+            if hist and a.shape[1] < T:
+                widths = [(0, 0), (0, T - a.shape[1])]
+                widths += [(0, 0)] * (a.ndim - 2)
+                fill = False if a.dtype == np.bool_ else np.nan
+                a = np.pad(a, widths, constant_values=fill)
+            segs.append(a)
+        return np.concatenate(segs, axis=0)
 
-        res.allfuns = cat_hist("allfuns", np.nan)
-        res.allerrs = cat_hist("allerrs", np.nan)
-        res.history_mask = cat_hist("history_mask", False)
-        res.F0 = cat("F0")
-        if first.get("allvecs") is not None:
-            res.allvecs = cat_hist("allvecs", np.nan)
-            if first.get("vec_head") is not None:
-                res.vec_head = cat("vec_head")
-    if keep_state and first.state is not None:
+    # SHAPE-driven merge (not a hard-coded field list): every per-lane
+    # ndarray field of the part results — whatever _pack_result emits now
+    # or grows later — is concatenated lane-for-lane; scalar/global fields
+    # are taken from the first part.  A name list here would silently drop
+    # future per-lane fields from chunked results only.
+    res = BatchResult()
+    for key, v in first.items():
+        if key == "state":
+            continue
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == K:
+            res[key] = cat(key, key in hist_keys)
+        else:
+            res[key] = v
+    res.time = _time.perf_counter() - start
+    if keep_state and first.get("state") is not None:
         res.state = jax.tree.map(
             lambda *ls: np.concatenate(
                 [np.asarray(a)[:c] for a, c in zip(ls, counts)], axis=0
@@ -343,13 +343,17 @@ def minimize_proximal_gradient_batch(
     if lane_chunk is not None:
         if int(lane_chunk) < 1:
             raise ValueError(f"lane_chunk must be >= 1; got {lane_chunk}")
+        if in_sharding is not None:
+            # Checked whenever lane_chunk is passed (not only when it
+            # actually splits): the documented contract is "raises if
+            # combined", and a B-dependent raise would let a probe pass
+            # at small B then explode on the production batch.
+            raise ValueError(
+                "lane_chunk cannot be combined with in_sharding: "
+                "chunking is a single-process device-capacity knob — "
+                "shard OR chunk the batch axis, not both"
+            )
         if int(lane_chunk) < int(x0s.shape[0]):
-            if in_sharding is not None:
-                raise ValueError(
-                    "lane_chunk cannot be combined with in_sharding: "
-                    "chunking is a single-process device-capacity knob — "
-                    "shard OR chunk the batch axis, not both"
-                )
             return _lane_chunked_solve(
                 f,
                 g,
