@@ -24,6 +24,13 @@ import os
 # mesh tests), but full-suite green is only promised in the default
 # hermetic CPU mode — run a targeted selection under the opt-out.
 _platform = os.environ.get("ZFISTA_TEST_PLATFORM", "cpu")
+if _platform not in ("cpu", "tpu"):
+    # A typo ('CPU', 'gpu', ...) would silently disable the hermetic
+    # CPU/x64/8-device setup and produce confusing downstream failures;
+    # fail loudly at collection instead (round-3 advisor finding).
+    raise RuntimeError(
+        f"ZFISTA_TEST_PLATFORM must be 'cpu' or 'tpu'; got {_platform!r}"
+    )
 
 if _platform == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -397,3 +397,132 @@ def test_lane_chunked_params_and_resume(toy_lasso):
             f, g, jac_f, prox, x0s, batch_params=lams, lane_chunk=2,
             in_sharding=batch_sharding(mesh), **kw,
         )
+
+
+def _tri_objective_quad():
+    """Tiny 3-objective problem (duplicated quadratic): exercises the
+    m>=3 semismooth-Newton dual path cheaply — the class whose wide
+    vmapped batches fault the TPU backend (DESIGN.md known limitations)."""
+
+    def f(x):
+        v = jnp.sum((x - 1.0) ** 2)
+        return jnp.stack([v, 2.0 * v, 3.0 * v])
+
+    def g(x):
+        return jnp.zeros((3,), x.dtype)
+
+    def prox(w, x):
+        return x
+
+    return f, g, None, prox
+
+
+def test_m3_wide_batch_auto_guard(monkeypatch):
+    """Round-3 verdict item 1: on the TPU backend an unchunked m>=3 batch
+    wider than the measured safe width must auto-apply lane_chunk (with a
+    warning naming the knob) instead of hard-faulting the device — and
+    the guarded result must be lane-for-lane the unchunked one."""
+    import zfista_tpu.parallel.batch as bm
+
+    f, g, jac, prox = _tri_objective_quad()
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(rng.uniform(-1, 3, size=(6, 3)))
+    kw = dict(lr=0.3, nesterov=True, decay_rate=1)
+    ref = minimize_proximal_gradient_batch(f, g, jac, prox, x0s, **kw)
+
+    monkeypatch.setattr(bm, "_default_backend", lambda: "tpu")
+    monkeypatch.setattr(bm, "_TPU_M3_SAFE_LANES", 4)
+    with pytest.warns(UserWarning, match="lane_chunk=4"):
+        guarded = minimize_proximal_gradient_batch(f, g, jac, prox, x0s, **kw)
+    np.testing.assert_array_equal(guarded.nit, ref.nit)
+    np.testing.assert_allclose(guarded.x, ref.x, atol=1e-12)
+
+    # Explicit lane_chunk (any value) overrides the guard: no warning.
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        forced = minimize_proximal_gradient_batch(
+            f, g, jac, prox, x0s, lane_chunk=6, **kw
+        )
+    np.testing.assert_allclose(forced.x, ref.x, atol=1e-12)
+
+    # m=2 batches never trigger the guard, however wide.
+    prob2 = JOS1(n_features=3)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        minimize_proximal_gradient_batch(
+            prob2.f, prob2.g, prob2.jac_f, prob2.prox_wsum_g,
+            jnp.asarray(rng.uniform(-1, 3, size=(6, 3))), nesterov=True,
+        )
+
+
+def test_iter_chunk_honored_with_history(toy_lasso):
+    """Round-3 verdict item 4: iter_chunk must bound the per-kernel step
+    count under history=True too (it was silently dropped).  The scan
+    driver's chunk length becomes min(history_chunk, iter_chunk), and the
+    recorded histories are unchanged."""
+    from zfista_tpu.core.solver import _DRIVER_CACHE
+
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    x0s = jnp.array([[0.0], [3.0]])
+    kw = dict(lr=0.4, nesterov=True, history=True, history_chunk=64)
+    ref = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, **kw
+    )
+    _DRIVER_CACHE.clear()
+    res = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, iter_chunk=2, **kw
+    )
+    hist_chunks = [
+        k[1] for k in _DRIVER_CACHE if isinstance(k, tuple) and k[:1] == ("hist",)
+    ]
+    assert hist_chunks == [2], hist_chunks
+    for r, rr in zip(res.to_list(), ref.to_list()):
+        np.testing.assert_array_equal(r.allfuns, rr.allfuns)
+        np.testing.assert_array_equal(r.allerrs, rr.allerrs)
+
+
+def test_lane_chunk_merge_registry(toy_lasso, monkeypatch):
+    """An ndarray result field of chunk-width length that is NOT in the
+    per-lane registry must fail the merge loudly (round-3 advisor: a
+    future global array field could otherwise be silently concatenated)."""
+    import zfista_tpu.parallel.batch as bm
+
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    orig = bm._pack_result
+
+    def patched(*a, **k):
+        res = orig(*a, **k)
+        res["mystery"] = np.zeros(2)  # global-looking, chunk-width array
+        return res
+
+    monkeypatch.setattr(bm, "_pack_result", patched)
+    with pytest.raises(RuntimeError, match="mystery"):
+        minimize_proximal_gradient_batch(
+            prob.f, prob.g, prob.jac_f, prob.prox_wsum_g,
+            jnp.array([[0.0], [3.0], [1.0], [-2.0]]),
+            lr=0.4, nesterov=True, lane_chunk=2,
+        )
+
+
+def test_batch_tol_rel(toy_lasso):
+    """tol_rel flows through the batch driver: tol=0 batches converge by
+    the scaled criterion and the result records the knob."""
+    A, b = toy_lasso
+    prob = Lasso(A, b, l1_ratio=0.1)
+    x0s = jnp.array([[0.0], [3.0]])
+    res = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s,
+        lr=0.4, nesterov=True, tol=0.0, tol_rel=1e-5, max_iter=500,
+    )
+    assert bool(np.all(res.success))
+    assert res.tol_rel == 1e-5
+    np.testing.assert_allclose(res.x, 0.95, atol=1e-4)
+    assert res.to_list()[0].tol_rel == 1e-5
+    with pytest.raises(ValueError, match="tol_rel"):
+        minimize_proximal_gradient_batch(
+            prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, tol_rel=-1.0
+        )

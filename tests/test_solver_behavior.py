@@ -167,3 +167,41 @@ def test_project_momentum_fixes_zdt1_fista():
         )
         assert fixed.success, fixed.message
         assert np.all(np.asarray(fixed.x) >= 1e-6 - 1e-12)
+
+
+def test_tol_rel_scaled_convergence():
+    """Opt-in iterate-scaled tolerance (deliberate divergence from the
+    reference's absolute-only criterion, proximal_gradient.py:525-529):
+    with tol=0 the absolute test ``err < 0`` can never fire, but
+    tol_rel converges once ``err < tol_rel * ||x||_inf``.  Closes the
+    FDS-class f32 floor on TPU (DESIGN.md "f32 limitations")."""
+    f = lambda x: jnp.sum((x - 2.0) ** 2)
+    g = lambda x: jnp.asarray(0.0, x.dtype)
+    prox = lambda w, x: x
+    x0 = np.zeros(4)
+    kw = dict(lr=0.4, nesterov=True, max_iter=200, decay_rate=1)
+    with pytest.warns(UserWarning, match="Maximum number of iterations"):
+        base = minimize_proximal_gradient(f, g, None, prox, x0, tol=0.0, **kw)
+    assert not base.success  # absolute criterion unreachable
+    rel = minimize_proximal_gradient(
+        f, g, None, prox, x0, tol=0.0, tol_rel=1e-5, **kw
+    )
+    assert rel.success
+    assert rel.nit < base.nit
+    assert rel.error_criterion < 1e-5 * np.max(np.abs(rel.x))
+    np.testing.assert_allclose(rel.x, 2.0, rtol=1e-4)
+    assert rel.tol_rel == 1e-5
+
+
+def test_tol_rel_zero_is_reference_criterion():
+    """tol_rel=0 (the default) must leave every trajectory exactly the
+    reference criterion — same nit, bitwise-same iterate."""
+    prob = JOS1(n_features=5)
+    x0 = np.asarray(np.linspace(-2, 4, 5))
+    a = prob.minimize_proximal_gradient(x0, nesterov=True)
+    b = prob.minimize_proximal_gradient(x0, nesterov=True, tol_rel=0.0)
+    assert a.nit == b.nit
+    np.testing.assert_array_equal(a.x, b.x)
+    assert b.tol_rel == 0.0
+    with pytest.raises(ValueError, match="tol_rel"):
+        prob.minimize_proximal_gradient(x0, tol_rel=-1e-3)

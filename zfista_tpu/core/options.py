@@ -30,6 +30,7 @@ class SolverOptions:
 
     lr: float = 1.0
     tol: float = 1e-5
+    tol_rel: float = 0.0
     tol_internal: float = 1e-12
     max_iter: int = 1_000_000
     max_iter_internal: int = 100_000

@@ -91,6 +91,7 @@ def _make_step(
     n_objectives: int,
     *,
     tol: float,
+    tol_rel: float = 0.0,
     tol_internal: float,
     max_iter_internal: int,
     max_backtrack_iter: int,
@@ -222,7 +223,17 @@ def _make_step(
 
         failed_now = ~ls.done
         err = jnp.max(jnp.abs(ls.x - state.y))
-        converged_now = (err < tol) & ls.done
+        if tol_rel:
+            # Opt-in iterate-scaled criterion (deliberate divergence from
+            # the reference's absolute-only test, proximal_gradient.py:525-529):
+            # ||x - y||_inf < tol + tol_rel * ||x||_inf.  Closes the f32
+            # floor on problems whose iterate/objective scale puts the
+            # representable step size above an absolute tol (e.g. FDS on
+            # TPU, DESIGN.md "f32 limitations").  Default 0.0 compiles to
+            # the reference criterion exactly (this branch is static).
+            converged_now = (err < tol + tol_rel * jnp.max(jnp.abs(ls.x))) & ls.done
+        else:
+            converged_now = (err < tol) & ls.done
 
         if nesterov:
             t_k = state.t
@@ -635,6 +646,7 @@ def minimize_proximal_gradient(
     x0: Array,
     lr: float = 1,
     tol: float = 1e-5,
+    tol_rel: float = 0.0,
     tol_internal: float = 1e-12,
     max_iter: int = 1000000,
     max_iter_internal: int = 100000,
@@ -686,6 +698,14 @@ def minimize_proximal_gradient(
     compiled program; callables are assumed pure and frozen — mutating
     data they close over between calls yields stale results (pass it via
     ``params`` instead).
+
+    ``tol_rel`` (default 0, the reference behavior) adds an opt-in
+    iterate-scaled term to the convergence criterion:
+    ``||x - y||_inf < tol + tol_rel * ||x||_inf``.  Use it when the
+    problem's scale puts the floating-point error floor above an absolute
+    ``tol`` (e.g. FDS objectives ~1e4 in float32 on TPU cannot reach
+    ``tol=1e-5`` absolutely); with it 0 every trajectory is bitwise the
+    reference criterion.
     """
     if deprecated:
         warnings.warn(
@@ -744,8 +764,11 @@ def minimize_proximal_gradient(
         # the masked fori driver (device-side loop, unroll<=8) serves the
         # same bitwise-identical semantics at bounded compile cost.
     )
+    if tol_rel < 0:
+        raise ValueError(f"tol_rel must be >= 0, got {tol_rel}")
     opts = dict(
         tol=tol,
+        tol_rel=float(tol_rel),
         tol_internal=tol_internal,
         max_iter_internal=int(max_iter_internal),
         max_backtrack_iter=int(max_backtrack_iter),
@@ -935,6 +958,7 @@ def minimize_proximal_gradient(
     res = SolveResult(
         x0=x0_res,
         tol=tol,
+        tol_rel=tol_rel,
         tol_internal=tol_internal,
         nesterov=nesterov,
         nesterov_ratio=nesterov_ratio,

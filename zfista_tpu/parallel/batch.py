@@ -55,6 +55,46 @@ from zfista_tpu.core.solver import (
 )
 
 
+#: Measured single-program lane-width capacity for m>=3 batches on this
+#: TPU backend: the vmapped semismooth-Newton dual runs clean at B=1024
+#: and hard-faults the device ("TPU device error") at B=1536 (round-3
+#: on-chip isolation, DESIGN.md "Known limitations"; standalone repro in
+#: tools/repro_m3_width_fault.py).  Batches wider than this auto-chunk.
+_TPU_M3_SAFE_LANES = 1024
+
+
+def _default_backend() -> str:
+    """Backend name for the capacity auto-guard (indirection so tests can
+    monkeypatch a 'tpu' answer on the hermetic CPU mesh)."""
+    return jax.default_backend()
+
+
+#: Result fields carrying a leading lane axis — the lane_chunk merge's
+#: classification registry (see _lane_chunked_solve): an ndarray field of
+#: chunk-width length must appear here to be concatenated across chunks.
+_PER_LANE_RESULT_KEYS = frozenset(
+    {
+        "x0",
+        "x",
+        "fun",
+        "weight",
+        "nit",
+        "nit_internal",
+        "lr",
+        "error_criterion",
+        "success",
+        "status",
+        "nesterov_ratio",  # (B, 2) when the batch ran per-lane pairs
+        "allfuns",
+        "allerrs",
+        "history_mask",
+        "allvecs",
+        "F0",
+        "vec_head",
+    }
+)
+
+
 class BatchResult(SolveResult):
     """A :class:`SolveResult` whose array fields carry a leading batch axis.
 
@@ -83,6 +123,7 @@ class BatchResult(SolveResult):
                 ),
                 time=self.time / n,  # amortized wall time per lane
                 tol=self.tol,
+                tol_rel=self.get("tol_rel", 0.0),
                 tol_internal=self.tol_internal,
                 nesterov=self.nesterov,
                 # (B, 2) when the batch ran per-lane momentum pairs
@@ -248,12 +289,23 @@ def _lane_chunked_solve(
     # ndarray field of the part results — whatever _pack_result emits now
     # or grows later — is concatenated lane-for-lane; scalar/global fields
     # are taken from the first part.  A name list here would silently drop
-    # future per-lane fields from chunked results only.
+    # future per-lane fields from chunked results only.  The registry
+    # check below is the inverse safety net (round-3 advisor finding): a
+    # future GLOBAL ndarray field whose length coincidentally equals the
+    # chunk width must not be silently concatenated — growing the result
+    # schema requires classifying the field here.
     res = BatchResult()
     for key, v in first.items():
         if key == "state":
             continue
         if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == K:
+            if key not in _PER_LANE_RESULT_KEYS:
+                raise RuntimeError(
+                    f"lane_chunk merge: result field {key!r} is an ndarray "
+                    "of chunk-width length but is not registered as "
+                    "per-lane; add it to _PER_LANE_RESULT_KEYS (if it has "
+                    "a leading lane axis) or keep global fields non-array"
+                )
             res[key] = cat(key, key in hist_keys)
         else:
             res[key] = v
@@ -280,6 +332,7 @@ def minimize_proximal_gradient_batch(
     batch_nesterov_ratio: Any = None,
     lr: float = 1,
     tol: float = 1e-5,
+    tol_rel: float = 0.0,
     tol_internal: float = 1e-12,
     max_iter: int = 1000000,
     max_iter_internal: int = 100000,
@@ -329,6 +382,18 @@ def minimize_proximal_gradient_batch(
     dual faults this TPU backend above ~1024 lanes, DESIGN.md known
     limitations) and a kernel-runtime bound for heavy sweeps.  It is a
     single-process knob: combining it with ``in_sharding`` raises.
+    **Capacity auto-guard**: on the TPU backend, an unchunked m>=3 batch
+    wider than 1024 lanes auto-applies ``lane_chunk=1024`` (with a
+    warning naming the measured bound) instead of hard-faulting the
+    device; pass ``lane_chunk`` explicitly to choose the width or
+    ``lane_chunk=len(x0s)`` to force one program.
+
+    ``iter_chunk`` bounds how many solver iterations one device kernel
+    runs (the kernel-runtime guard for heavy lanes); with ``history=True``
+    the scan driver's per-call step count becomes
+    ``min(history_chunk, iter_chunk)``, so the bound is honored on every
+    driver.  ``tol_rel`` adds the opt-in iterate-scaled convergence term
+    (see :func:`zfista_tpu.minimize_proximal_gradient`).
 
     **Freeze contract** (same as the single-solve facade): repeat batch
     solves with the same callables, shapes and options reuse one compiled
@@ -340,6 +405,56 @@ def minimize_proximal_gradient_batch(
     x0s = jnp.asarray(x0s)
     if x0s.ndim != 2:
         raise ValueError(f"x0s must be (batch, n_features); got {x0s.shape}")
+    if tol_rel < 0:
+        raise ValueError(f"tol_rel must be >= 0, got {tol_rel}")
+    if not jnp.issubdtype(x0s.dtype, jnp.floating):
+        x0s = x0s.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+
+    has_params = batch_params is not None
+    # Probe the objective count ABSTRACTLY (shape/dtype only): no data is
+    # touched, so globally-sharded multi-process inputs never need an eager
+    # gather or a closure over non-addressable shards.
+    x_tmpl = jax.ShapeDtypeStruct(x0s.shape[1:], x0s.dtype)
+    if has_params:
+        p_tmpl = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(
+                np.shape(a)[1:],
+                a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype,
+            ),
+            batch_params,
+        )
+        out_shape = jax.eval_shape(lambda x, p: f(x, p), x_tmpl, p_tmpl)
+    else:
+        out_shape = jax.eval_shape(f, x_tmpl)
+    scalar_mode = out_shape.shape == ()
+    m = 1 if scalar_mode else out_shape.shape[0]
+
+    if (
+        lane_chunk is None
+        and in_sharding is None
+        and m >= 3
+        and int(x0s.shape[0]) > _TPU_M3_SAFE_LANES
+        and _default_backend() == "tpu"
+    ):
+        # Capacity auto-guard: one vmapped m>=3 semismooth-Newton dual
+        # program hard-faults this TPU backend above ~1024 lanes with an
+        # opaque "TPU device error" (measured, DESIGN.md "Known
+        # limitations"; repro: tools/repro_m3_width_fault.py).  Rather
+        # than let the flagship batch entry point crash the backend at
+        # default settings, chunk at the measured safe width — lane-for-
+        # lane identical results (pinned by tests/test_batch.py).  Pass
+        # ``lane_chunk`` explicitly (e.g. ``lane_chunk=len(x0s)``) to
+        # override the guard and force a single program.
+        lane_chunk = _TPU_M3_SAFE_LANES
+        warnings.warn(
+            f"auto-applying lane_chunk={_TPU_M3_SAFE_LANES}: batches with "
+            f"{m} objectives wider than {_TPU_M3_SAFE_LANES} lanes as ONE "
+            "program exceed this TPU backend's measured capacity "
+            "(device fault at B>=1536, DESIGN.md known limitations). "
+            "Pass lane_chunk explicitly to choose the width (or "
+            "lane_chunk=len(x0s) to force a single unchunked program).",
+            stacklevel=2,
+        )
     if lane_chunk is not None:
         if int(lane_chunk) < 1:
             raise ValueError(f"lane_chunk must be >= 1; got {lane_chunk}")
@@ -369,6 +484,7 @@ def minimize_proximal_gradient_batch(
                 solver_kwargs=dict(
                     lr=lr,
                     tol=tol,
+                    tol_rel=tol_rel,
                     tol_internal=tol_internal,
                     max_iter=max_iter,
                     max_iter_internal=max_iter_internal,
@@ -397,27 +513,6 @@ def minimize_proximal_gradient_batch(
             initial_states = jax.tree.map(
                 lambda a: jax.device_put(a, in_sharding), initial_states
             )
-    if not jnp.issubdtype(x0s.dtype, jnp.floating):
-        x0s = x0s.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-
-    has_params = batch_params is not None
-    # Probe the objective count ABSTRACTLY (shape/dtype only): no data is
-    # touched, so globally-sharded multi-process inputs never need an eager
-    # gather or a closure over non-addressable shards.
-    x_tmpl = jax.ShapeDtypeStruct(x0s.shape[1:], x0s.dtype)
-    if has_params:
-        p_tmpl = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(
-                np.shape(a)[1:],
-                a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype,
-            ),
-            batch_params,
-        )
-        out_shape = jax.eval_shape(lambda x, p: f(x, p), x_tmpl, p_tmpl)
-    else:
-        out_shape = jax.eval_shape(f, x_tmpl)
-    scalar_mode = out_shape.shape == ()
-    m = 1 if scalar_mode else out_shape.shape[0]
 
     if record_vecs:
         history = True  # iterate recording rides the history scan driver
@@ -428,6 +523,7 @@ def minimize_proximal_gradient_batch(
     skip_F = decay_rate == 1 and m == 1 and not history
     static = dict(
         tol=tol,
+        tol_rel=float(tol_rel),
         tol_internal=tol_internal,
         max_iter_internal=int(max_iter_internal),
         max_backtrack_iter=int(max_backtrack_iter),
@@ -573,6 +669,12 @@ def minimize_proximal_gradient_batch(
             # never-ran result (same guard as the single-solve facade,
             # core.solver history_chunk validation).
             raise ValueError(f"history_chunk must be >= 1, got {history_chunk}")
+        if iter_chunk is not None:
+            # Honor the kernel-runtime bound under history too: the scan
+            # driver's per-call step count IS the effective iter_chunk.
+            # (Round-3 verdict: passing both silently dropped the runtime
+            # bound — the one fault-relevant gap in the option surface.)
+            chunk = min(chunk, int(iter_chunk))
 
         def build_hist_chunk():
             def run_chunk(states: State, *sa):
@@ -670,6 +772,7 @@ def minimize_proximal_gradient_batch(
                 None,
                 None,
                 keep_state,
+                tol_rel=tol_rel,
             )
 
         def drive(states, *sa):
@@ -758,6 +861,7 @@ def minimize_proximal_gradient_batch(
         allvecs=allvecs,
         F0=F0_all,
         vec_head=vec_head,
+        tol_rel=tol_rel,
     )
 
 
@@ -777,6 +881,7 @@ def _pack_result(
     allvecs=None,
     F0=None,
     vec_head=None,
+    tol_rel=0.0,
 ) -> BatchResult:
     converged = _host_array(states.converged)
     failed = _host_array(states.failed)
@@ -798,6 +903,7 @@ def _pack_result(
         message="batched solve",
         time=elapsed,
         tol=tol,
+        tol_rel=tol_rel,
         tol_internal=tol_internal,
         nesterov=nesterov,
         nesterov_ratio=nesterov_ratio,
