@@ -64,11 +64,22 @@ def main(argv=None) -> None:
 
     print(f"\n== cold prox: {calls} chained prox calls per dispatch, "
           f"n_iter={n_iter}, best of {args.repeats} ==")
-    print(f"{'size':>6} {'fits':>5} {'xla ms/call':>12} {'pallas ms/call':>15} {'speedup':>8}")
+    print(f"{'size':>6} {'kernel':>9} {'xla ms/call':>12} {'pallas ms/call':>15} {'speedup':>8}")
     for size in [int(s) for s in args.sizes.split(",")]:
         v0 = jnp.asarray(rng.standard_normal((size, size)), jnp.float32)
         lam = jnp.asarray(0.1, jnp.float32)
         fits = tv_pallas.fits_vmem((size, size), jnp.float32)
+        strips = tv_pallas.strip_rows((size, size), jnp.float32)
+        # What method="pallas" resolves to at this size (prox_tv dispatch
+        # order): all-VMEM residency, then temporally-blocked strips
+        # (real kernel only — the interpreter always runs the all-VMEM
+        # form), then the XLA fallback.
+        if fits:
+            kind = "vmem"
+        elif strips is not None and not interpret:
+            kind = f"strip/{strips}"
+        else:
+            kind = None
 
         def chained(method):
             # `calls` dependent prox applications inside one program: the
@@ -84,8 +95,8 @@ def main(argv=None) -> None:
             return lambda: run(v0)
 
         t_x = _time_best(chained("xla"), args.repeats)
-        row = f"{size:>6} {str(fits):>5} {1e3 * t_x / calls:>12.3f}"
-        if fits:
+        row = f"{size:>6} {kind or '(xla)':>9} {1e3 * t_x / calls:>12.3f}"
+        if kind is not None:
             t_p = _time_best(chained(kernel_method), args.repeats)
             row += f" {1e3 * t_p / calls:>15.3f} {t_x / t_p:>8.2f}x"
         else:

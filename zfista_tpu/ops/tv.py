@@ -96,12 +96,17 @@ def prox_tv(
     ``method="pallas"`` runs the dual loop as a single Pallas TPU kernel
     with every field VMEM-resident across all ``n_iter`` iterations
     (:mod:`zfista_tpu.ops.tv_pallas`) — the XLA ``fori_loop`` round-trips
-    the carry through HBM each iteration.  Images that exceed the VMEM
-    budget (~512x512 float32) and non-TPU backends fall back to the XLA
-    loop.  ``method="auto"`` (the default) IS that dispatch rule spelled
-    out: the kernel wherever it applies, XLA everywhere else — it is the
-    default because the kernel is measured faster on TPU at every size
-    that fits (1.06-1.21x cold, 1.15x nested in ``TVDeblur.solve_warm``;
+    the carry through HBM each iteration.  Images past the all-VMEM
+    budget (~512x512 float32) use the temporally-blocked strip-sweep
+    kernel instead (haloed row strips streamed through VMEM,
+    :func:`zfista_tpu.ops.tv_pallas.fgp_pallas_strips`); shapes with no
+    admissible strip blocking (``strip_rows`` returns ``None``) and
+    non-TPU backends fall back to the XLA loop.  ``method="auto"`` (the
+    default) IS that dispatch rule spelled out: the best kernel wherever
+    one applies, XLA everywhere else — it is the default because the
+    kernels are measured faster on TPU at every size they cover
+    (1.06-1.21x cold, 1.15x nested in ``TVDeblur.solve_warm`` under the
+    wall; 1.42x/1.52x at 1024^2/2048^2 past it;
     BENCHMARKS.md "TV prox kernel on device").  ``method="xla"`` forces
     the XLA loop everywhere (bitwise-reproducible across backends).
     ``method="pallas_interpret"`` forces the kernel through the Pallas
@@ -129,11 +134,20 @@ def prox_tv(
         # no VMEM and must run the kernel at any size (a capacity fallback
         # here would make large-shape parity tests compare XLA to itself).
         if interpret or tv_pallas.fits_vmem(v.shape, v.dtype):
+            kernel_fn = tv_pallas.fgp_pallas
+        elif tv_pallas.strip_rows(v.shape, v.dtype) is not None:
+            # Past the all-VMEM wall: temporally-blocked strip sweeps
+            # stream the image through VMEM (measured 1.42x/1.52x over
+            # the XLA loop at 1024^2/2048^2 — BENCHMARKS.md).
+            kernel_fn = tv_pallas.fgp_pallas_strips
+        else:
+            kernel_fn = None  # no admissible blocking -> XLA loop
+        if kernel_fn is not None:
             if dual0 is None:
                 p00 = q00 = jnp.zeros_like(v)
             else:
                 p00, q00 = dual0
-            u_k, p_k, q_k = tv_pallas.fgp_pallas(
+            u_k, p_k, q_k = kernel_fn(
                 lam,
                 v,
                 p00,
@@ -146,7 +160,7 @@ def prox_tv(
             if return_dual:
                 return u_k, (p_k, q_k)
             return u_k
-        # falls through: too large for all-VMEM residency -> XLA loop
+        # falls through: too large for any VMEM residency -> XLA loop
     safe = jnp.maximum(lam, jnp.asarray(jnp.finfo(v.dtype).tiny, v.dtype))
     step = 1.0 / (8.0 * safe)
 
