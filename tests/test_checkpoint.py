@@ -189,3 +189,53 @@ def test_save_state_atomic_no_tmp_left(tmp_path):
     assert leftovers == []
     st2 = load_state(path)
     assert st2.x.shape == (4,)
+
+
+def test_checkpoint_meta_roundtrip(tmp_path):
+    """save_state(meta=...) stores string metadata read back by
+    load_meta; load_state ignores it (state round-trip unchanged); a
+    meta key colliding with a State field is rejected; checkpoints
+    without metadata load an empty dict (backward compatible)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from zfista_tpu.core.solver import init_state
+    from zfista_tpu.utils.checkpoint import load_meta, load_state, save_state
+
+    st = init_state(jnp.arange(4.0), jnp.zeros(1), 1, 0.5)
+    path = tmp_path / "ckpt.npz"
+    save_state(st, path, meta={"prox_kernel": "pallas", "prox_iter": "30"})
+    assert load_meta(path) == {"prox_kernel": "pallas", "prox_iter": "30"}
+    st2 = load_state(path)
+    np.testing.assert_array_equal(np.asarray(st2.x), np.asarray(st.x))
+    with pytest.raises(ValueError, match="collides"):
+        save_state(st, path, meta={"x": "oops"})
+    save_state(st, path)  # no meta
+    assert load_meta(path) == {}
+
+
+def test_tv_deblur_checkpoint_meta(tmp_path):
+    """TVDeblur.checkpoint_meta() pins the RESOLVED prox kernel (the
+    ADVICE round-3 finding: the 'auto' default flip to Pallas changes
+    TPU numerics, so resumes must be able to detect a kernel change).
+    On this CPU suite 'auto' resolves to the XLA loop."""
+    import jax
+    import numpy as np
+
+    from zfista_tpu.models.deblur import TVDeblur, gaussian_kernel
+
+    rng = np.random.default_rng(0)
+    prob = TVDeblur(rng.random((16, 16)), kernel=gaussian_kernel(5, 1.0))
+    meta = prob.checkpoint_meta()
+    assert meta["problem"] == "TVDeblur"
+    assert meta["prox_method"] == "auto"
+    expected = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert meta["prox_kernel"] == expected
+    assert meta["prox_iter"] == "30"
+    # explicit pin survives resolution
+    p2 = TVDeblur(
+        rng.random((16, 16)), kernel=gaussian_kernel(5, 1.0),
+        prox_method="xla",
+    )
+    assert p2.checkpoint_meta()["prox_kernel"] == "xla"

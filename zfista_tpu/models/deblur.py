@@ -372,6 +372,41 @@ class TVDeblur:
         """Warm start at the observed image itself."""
         return jnp.reshape(self.b, (-1,))
 
+    def checkpoint_meta(self) -> dict[str, str]:
+        """Configuration pins for ``save_state(..., meta=...)``.
+
+        The solver ``State`` alone cannot express which TV-prox kernel
+        produced it, and ``prox_method="auto"`` resolves differently per
+        backend/shape (Pallas vs XLA are same-math but NOT bitwise).  A
+        resume that wants bitwise continuation must reconstruct TVDeblur
+        with a ``prox_method`` that resolves to the recorded
+        ``prox_kernel`` — compare against
+        ``utils.checkpoint.load_meta(path)``.
+        """
+        from zfista_tpu.ops import tv_pallas
+
+        method = "pallas" if self.prox_method == "auto" else self.prox_method
+        if method == "pallas_interpret":
+            resolved = "pallas_interpret"
+        elif method == "pallas" and jax.default_backend() == "tpu":
+            if tv_pallas.fits_vmem(self.b.shape, self.b.dtype):
+                resolved = "pallas"
+            elif tv_pallas.strip_rows(self.b.shape, self.b.dtype) is not None:
+                resolved = "pallas_strips"
+            else:
+                resolved = "xla"
+        else:
+            resolved = "xla"
+        return {
+            "problem": "TVDeblur",
+            "prox_method": self.prox_method,
+            "prox_kernel": resolved,
+            "backend": jax.default_backend(),
+            "prox_iter": str(self.prox_iter),
+            "isotropic": str(self.isotropic),
+            "tv_ratio": repr(self.tv_ratio),
+        }
+
     def _bands(self):
         """Device-resident banded blur matrices ``(Gr, Gc)``, built once
         per instance (the SVD + O(n²) host construction + transfer are

@@ -29,7 +29,12 @@ def _normalize(path) -> Path:
     return path if path.suffix == ".npz" else path.with_suffix(path.suffix + ".npz")
 
 
-def save_state(state: State, path) -> None:
+#: npz key prefix for user metadata entries (kept disjoint from
+#: ``State._fields`` so :func:`load_state` can ignore them unchanged).
+_META_PREFIX = "_meta_"
+
+
+def save_state(state: State, path, meta: dict[str, str] | None = None) -> None:
     """Serialize a solver :class:`State` (single or batched) to ``.npz``.
 
     Globally-sharded states (multi-process runs, where each process owns
@@ -40,6 +45,13 @@ def save_state(state: State, path) -> None:
     write from process 0 only (``jax.process_index() == 0``) when the
     path is on a shared filesystem — concurrent same-path writers are
     each individually atomic but still race the final rename.
+
+    ``meta`` stores string key/value pairs alongside the state (read back
+    with :func:`load_meta`; :func:`load_state` ignores them).  Use it to
+    pin configuration the state alone cannot express — e.g.
+    ``TVDeblur.checkpoint_meta()`` records the resolved TV-prox kernel so
+    a resume under a different default (or backend) can detect that it
+    would not continue bitwise-identically.
     """
     import os
 
@@ -47,9 +59,14 @@ def save_state(state: State, path) -> None:
 
     path = _normalize(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {k: _host_array(v) for k, v in state._asdict().items()}
+    for k, v in (meta or {}).items():
+        if k in State._fields:
+            raise ValueError(f"meta key {k!r} collides with a State field")
+        payload[_META_PREFIX + str(k)] = np.asarray(str(v))
     tmp = path.with_suffix(f".tmp{os.getpid()}.npz")
     try:
-        np.savez(tmp, **{k: _host_array(v) for k, v in state._asdict().items()})
+        np.savez(tmp, **payload)
         os.replace(tmp, path)
     except BaseException:
         tmp.unlink(missing_ok=True)
@@ -80,3 +97,17 @@ def load_state(path) -> State:
                 )
             leaves[k] = arr
         return State(**leaves)
+
+
+def load_meta(path) -> dict[str, str]:
+    """Read the string metadata stored by ``save_state(..., meta=...)``.
+
+    Returns an empty dict for checkpoints written without metadata (all
+    pre-existing checkpoints remain loadable).
+    """
+    with np.load(_normalize(path)) as data:
+        return {
+            k[len(_META_PREFIX):]: str(data[k])
+            for k in data.files
+            if k.startswith(_META_PREFIX)
+        }
