@@ -1,0 +1,59 @@
+"""The generated API reference (docs/api/) must match the docstrings it
+was generated from — the drift gate the reference gets from rebuilding
+its Sphinx site (reference: docs/conf.py:23-27).  Run
+``python tools/gen_api_docs.py`` after changing any public docstring."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run_gen(*args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import runpy, sys; "
+        f"sys.argv=['gen_api_docs.py', *{list(args)!r}]; "
+        f"runpy.run_path(r'{ROOT}/tools/gen_api_docs.py', run_name='__main__')"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=ROOT,
+    )
+
+
+def test_api_docs_in_sync():
+    r = _run_gen("--check")
+    assert r.returncode == 0, (
+        "docs/api is stale — run `python tools/gen_api_docs.py`:\n"
+        + r.stdout[-2000:]
+        + r.stderr[-2000:]
+    )
+    assert "in sync" in r.stdout
+
+
+def test_api_docs_cover_public_surface():
+    """Every package re-export has a page documenting where it's defined,
+    and every documented page is non-trivial (module docstring present)."""
+    import zfista_tpu
+
+    index = (ROOT / "docs/api/README.md").read_text()
+    pkg_page = (ROOT / "docs/api/zfista_tpu.md").read_text()
+    for name in zfista_tpu.__all__:
+        assert f"`{name}`" in pkg_page, f"{name} missing from package page"
+    for line in index.splitlines():
+        if line.startswith("- [`"):
+            mod = line.split("`")[1]
+            page = ROOT / f"docs/api/{mod}.md"
+            assert page.exists(), f"index links missing page {mod}"
+            assert "*(undocumented)*" not in page.read_text().split("\n##")[0], (
+                f"module {mod} has no module docstring"
+            )
