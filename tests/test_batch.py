@@ -432,10 +432,17 @@ def test_m3_wide_batch_auto_guard(monkeypatch):
 
     monkeypatch.setattr(bm, "_default_backend", lambda: "tpu")
     monkeypatch.setattr(bm, "_TPU_M3_SAFE_LANES", 4)
-    with pytest.warns(UserWarning, match="lane_chunk=4"):
+    with pytest.warns(UserWarning, match="lane_chunk=4 and iter_chunk=50"):
         guarded = minimize_proximal_gradient_batch(f, g, jac, prox, x0s, **kw)
     np.testing.assert_array_equal(guarded.nit, ref.nit)
     np.testing.assert_allclose(guarded.x, ref.x, atol=1e-12)
+
+    # A caller-provided iter_chunk is respected (guard only fills the gap).
+    with pytest.warns(UserWarning, match=r"lane_chunk=4: "):
+        guarded2 = minimize_proximal_gradient_batch(
+            f, g, jac, prox, x0s, iter_chunk=7, **kw
+        )
+    np.testing.assert_allclose(guarded2.x, ref.x, atol=1e-12)
 
     # Explicit lane_chunk (any value) overrides the guard: no warning.
     import warnings as _w

@@ -61,6 +61,11 @@ from zfista_tpu.core.solver import (
 #: on-chip isolation, DESIGN.md "Known limitations"; standalone repro in
 #: tools/repro_m3_width_fault.py).  Batches wider than this auto-chunk.
 _TPU_M3_SAFE_LANES = 1024
+#: Kernel-runtime bound the auto-guard pairs with the width bound: the
+#: second isolated fault mode is back-to-back long monolithic kernels
+#: (~50 s) even at the safe width; 50 outer iterations per dispatched
+#: kernel kept the round-3 B=2048 FDS m=3 run clean (BENCHMARKS.md).
+_TPU_M3_SAFE_ITER_CHUNK = 50
 
 
 def _default_backend() -> str:
@@ -383,10 +388,13 @@ def minimize_proximal_gradient_batch(
     limitations) and a kernel-runtime bound for heavy sweeps.  It is a
     single-process knob: combining it with ``in_sharding`` raises.
     **Capacity auto-guard**: on the TPU backend, an unchunked m>=3 batch
-    wider than 1024 lanes auto-applies ``lane_chunk=1024`` (with a
-    warning naming the measured bound) instead of hard-faulting the
-    device; pass ``lane_chunk`` explicitly to choose the width or
-    ``lane_chunk=len(x0s)`` to force one program.
+    wider than 1024 lanes auto-applies ``lane_chunk=1024`` — and, when
+    ``iter_chunk`` was not given, ``iter_chunk=50`` (the second measured
+    fault mode is kernel *runtime*: back-to-back long monolithic kernels
+    fault even at the safe width) — with a warning naming the measured
+    bounds, instead of hard-faulting the device; pass ``lane_chunk``
+    explicitly to choose the width or ``lane_chunk=len(x0s)`` to force
+    one program.
 
     ``iter_chunk`` bounds how many solver iterations one device kernel
     runs (the kernel-runtime guard for heavy lanes); with ``history=True``
@@ -446,11 +454,22 @@ def minimize_proximal_gradient_batch(
         # ``lane_chunk`` explicitly (e.g. ``lane_chunk=len(x0s)``) to
         # override the guard and force a single program.
         lane_chunk = _TPU_M3_SAFE_LANES
+        extra = ""
+        if iter_chunk is None:
+            # The SECOND isolated fault mode is kernel runtime: back-to-
+            # back ~50 s monolithic while_loop dispatches fault even at
+            # the safe width, and the guard creates exactly that shape
+            # (several full-depth chunks in a row).  Bound each kernel's
+            # step count too — also parity-preserving (the chunked
+            # drivers are bitwise the monolithic one, test-pinned).
+            iter_chunk = _TPU_M3_SAFE_ITER_CHUNK
+            extra = f" and iter_chunk={_TPU_M3_SAFE_ITER_CHUNK}"
         warnings.warn(
-            f"auto-applying lane_chunk={_TPU_M3_SAFE_LANES}: batches with "
-            f"{m} objectives wider than {_TPU_M3_SAFE_LANES} lanes as ONE "
-            "program exceed this TPU backend's measured capacity "
-            "(device fault at B>=1536, DESIGN.md known limitations). "
+            f"auto-applying lane_chunk={_TPU_M3_SAFE_LANES}{extra}: "
+            f"batches with {m} objectives wider than {_TPU_M3_SAFE_LANES} "
+            "lanes as ONE program exceed this TPU backend's measured "
+            "capacity (device fault at B>=1536, and at long back-to-back "
+            "kernels even below it; DESIGN.md known limitations). "
             "Pass lane_chunk explicitly to choose the width (or "
             "lane_chunk=len(x0s) to force a single unchunked program).",
             stacklevel=2,
