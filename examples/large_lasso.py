@@ -26,6 +26,16 @@ from functools import partial
 
 import numpy as np
 
+# Checkout-runnable without installation: `python examples/<name>.py` puts
+# examples/ (not the repo root) on sys.path.
+try:
+    import zfista_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()

@@ -21,6 +21,16 @@ from pathlib import Path
 
 import numpy as np
 
+# Checkout-runnable without installation: `python examples/<name>.py` puts
+# examples/ (not the repo root) on sys.path.
+try:
+    import zfista_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
     mse = float(np.mean((a - b) ** 2))
