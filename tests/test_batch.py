@@ -432,25 +432,33 @@ def test_m3_wide_batch_auto_guard(monkeypatch):
 
     monkeypatch.setattr(bm, "_default_backend", lambda: "tpu")
     monkeypatch.setattr(bm, "_TPU_M3_SAFE_LANES", 4)
+    monkeypatch.setattr(bm, "_TPU_M3_MONO_SAFE_LANES", 3)
     with pytest.warns(UserWarning, match="lane_chunk=4 and iter_chunk=50"):
         guarded = minimize_proximal_gradient_batch(f, g, jac, prox, x0s, **kw)
     np.testing.assert_array_equal(guarded.nit, ref.nit)
     np.testing.assert_allclose(guarded.x, ref.x, atol=1e-12)
 
-    # A caller-provided iter_chunk is respected (guard only fills the gap).
+    # A caller-provided iter_chunk is respected (guard only fills gaps).
     with pytest.warns(UserWarning, match=r"lane_chunk=4: "):
         guarded2 = minimize_proximal_gradient_batch(
             f, g, jac, prox, x0s, iter_chunk=7, **kw
         )
     np.testing.assert_allclose(guarded2.x, ref.x, atol=1e-12)
 
-    # Explicit lane_chunk (any value) overrides the guard: no warning.
+    # The depth guard fires alone when the per-dispatch width is past the
+    # monolithic bound but under the lane bound (the round-4 B=1000 mode).
+    monkeypatch.setattr(bm, "_TPU_M3_SAFE_LANES", 100)
+    with pytest.warns(UserWarning, match=r"auto-applying iter_chunk=50"):
+        guarded3 = minimize_proximal_gradient_batch(f, g, jac, prox, x0s, **kw)
+    np.testing.assert_allclose(guarded3.x, ref.x, atol=1e-12)
+
+    # Explicit knobs (any values) override the guard entirely: no warning.
     import warnings as _w
 
     with _w.catch_warnings():
         _w.simplefilter("error")
         forced = minimize_proximal_gradient_batch(
-            f, g, jac, prox, x0s, lane_chunk=6, **kw
+            f, g, jac, prox, x0s, lane_chunk=6, iter_chunk=1000, **kw
         )
     np.testing.assert_allclose(forced.x, ref.x, atol=1e-12)
 

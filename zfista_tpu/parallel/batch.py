@@ -61,10 +61,16 @@ from zfista_tpu.core.solver import (
 #: on-chip isolation, DESIGN.md "Known limitations"; standalone repro in
 #: tools/repro_m3_width_fault.py).  Batches wider than this auto-chunk.
 _TPU_M3_SAFE_LANES = 1024
-#: Kernel-runtime bound the auto-guard pairs with the width bound: the
-#: second isolated fault mode is back-to-back long monolithic kernels
-#: (~50 s) even at the safe width; 50 outer iterations per dispatched
-#: kernel kept the round-3 B=2048 FDS m=3 run clean (BENCHMARKS.md).
+#: Widest m>=3 batch ever observed to run clean as a full-depth MONOLITHIC
+#: while_loop kernel: the monolithic boundary is unstable across sessions
+#: (B=1024 clean round 3; B=1000 faulted round 4 while B=512 ran clean and
+#: iter_chunk=50 cured B=1000), so any per-dispatch width above this gets
+#: a kernel-depth bound.
+_TPU_M3_MONO_SAFE_LANES = 512
+#: Kernel-depth bound the auto-guard applies past _TPU_M3_MONO_SAFE_LANES:
+#: 50 outer iterations per dispatched kernel kept every wide run clean
+#: (round-3 B=2048 manual run; round-4 B=2048 out-of-the-box and B=1000
+#: bisection — BENCHMARKS.md).
 _TPU_M3_SAFE_ITER_CHUNK = 50
 
 
@@ -387,14 +393,16 @@ def minimize_proximal_gradient_batch(
     dual faults this TPU backend above ~1024 lanes, DESIGN.md known
     limitations) and a kernel-runtime bound for heavy sweeps.  It is a
     single-process knob: combining it with ``in_sharding`` raises.
-    **Capacity auto-guard**: on the TPU backend, an unchunked m>=3 batch
-    wider than 1024 lanes auto-applies ``lane_chunk=1024`` — and, when
-    ``iter_chunk`` was not given, ``iter_chunk=50`` (the second measured
-    fault mode is kernel *runtime*: back-to-back long monolithic kernels
-    fault even at the safe width) — with a warning naming the measured
-    bounds, instead of hard-faulting the device; pass ``lane_chunk``
-    explicitly to choose the width or ``lane_chunk=len(x0s)`` to force
-    one program.
+    **Capacity auto-guard**: on the TPU backend, m>=3 batches auto-apply
+    the knobs the backend's measured fault modes require, with a warning
+    naming what was chosen: ``lane_chunk=1024`` when the batch is wider
+    than 1024 lanes (one program past that width faults the device
+    regardless of kernel length), and ``iter_chunk=50`` when the
+    per-dispatch width exceeds 512 lanes (full-depth monolithic kernels
+    fault at widths the short-kernel path handles, and that boundary
+    moves between sessions).  Explicitly passed values are always
+    respected — ``lane_chunk=len(x0s), iter_chunk=max_iter`` forces one
+    unchunked program.
 
     ``iter_chunk`` bounds how many solver iterations one device kernel
     runs (the kernel-runtime guard for heavy lanes); with ``history=True``
@@ -437,43 +445,43 @@ def minimize_proximal_gradient_batch(
     scalar_mode = out_shape.shape == ()
     m = 1 if scalar_mode else out_shape.shape[0]
 
-    if (
-        lane_chunk is None
-        and in_sharding is None
-        and m >= 3
-        and int(x0s.shape[0]) > _TPU_M3_SAFE_LANES
-        and _default_backend() == "tpu"
-    ):
-        # Capacity auto-guard: one vmapped m>=3 semismooth-Newton dual
-        # program hard-faults this TPU backend above ~1024 lanes with an
-        # opaque "TPU device error" (measured, DESIGN.md "Known
-        # limitations"; repro: tools/repro_m3_width_fault.py).  Rather
-        # than let the flagship batch entry point crash the backend at
-        # default settings, chunk at the measured safe width — lane-for-
-        # lane identical results (pinned by tests/test_batch.py).  Pass
-        # ``lane_chunk`` explicitly (e.g. ``lane_chunk=len(x0s)``) to
-        # override the guard and force a single program.
-        lane_chunk = _TPU_M3_SAFE_LANES
-        extra = ""
-        if iter_chunk is None:
-            # The SECOND isolated fault mode is kernel runtime: back-to-
-            # back ~50 s monolithic while_loop dispatches fault even at
-            # the safe width, and the guard creates exactly that shape
-            # (several full-depth chunks in a row).  Bound each kernel's
-            # step count too — also parity-preserving (the chunked
-            # drivers are bitwise the monolithic one, test-pinned).
-            iter_chunk = _TPU_M3_SAFE_ITER_CHUNK
-            extra = f" and iter_chunk={_TPU_M3_SAFE_ITER_CHUNK}"
-        warnings.warn(
-            f"auto-applying lane_chunk={_TPU_M3_SAFE_LANES}{extra}: "
-            f"batches with {m} objectives wider than {_TPU_M3_SAFE_LANES} "
-            "lanes as ONE program exceed this TPU backend's measured "
-            "capacity (device fault at B>=1536, and at long back-to-back "
-            "kernels even below it; DESIGN.md known limitations). "
-            "Pass lane_chunk explicitly to choose the width (or "
-            "lane_chunk=len(x0s) to force a single unchunked program).",
-            stacklevel=2,
+    if m >= 3 and in_sharding is None and _default_backend() == "tpu":
+        # Capacity auto-guard for the vmapped m>=3 semismooth-Newton dual,
+        # which hard-faults this TPU backend with an opaque "TPU device
+        # error" in two measured modes (DESIGN.md "Known limitations";
+        # standalone repro: tools/repro_m3_width_fault.py):
+        #   width  — one program wider than ~1024 lanes faults regardless
+        #            of kernel length -> chunk the lane axis;
+        #   depth  — a full-depth monolithic while_loop kernel faults at
+        #            widths the short-kernel path handles (B=1000 faulted
+        #            round 4 where iter_chunk=50 ran clean, and the
+        #            boundary has MOVED between sessions: B=1024 was
+        #            clean in round 3) -> bound each kernel's step count
+        #            whenever the per-dispatch width exceeds the widest
+        #            monolithic run ever observed clean (512).
+        # Both knobs are parity-preserving (the chunked drivers are
+        # bitwise the monolithic one, test-pinned); explicitly passed
+        # values are always respected.
+        applied = []
+        if lane_chunk is None and int(x0s.shape[0]) > _TPU_M3_SAFE_LANES:
+            lane_chunk = _TPU_M3_SAFE_LANES
+            applied.append(f"lane_chunk={_TPU_M3_SAFE_LANES}")
+        width = int(x0s.shape[0]) if lane_chunk is None else min(
+            int(x0s.shape[0]), int(lane_chunk)
         )
+        if iter_chunk is None and width > _TPU_M3_MONO_SAFE_LANES:
+            iter_chunk = _TPU_M3_SAFE_ITER_CHUNK
+            applied.append(f"iter_chunk={_TPU_M3_SAFE_ITER_CHUNK}")
+        if applied:
+            warnings.warn(
+                f"auto-applying {' and '.join(applied)}: batches with "
+                f"{m} objectives wider than {_TPU_M3_MONO_SAFE_LANES} "
+                "lanes per dispatched kernel exceed this TPU backend's "
+                "measured capacity (opaque device fault; DESIGN.md known "
+                "limitations). Pass lane_chunk/iter_chunk explicitly to "
+                "choose the bounds (explicit values are respected).",
+                stacklevel=2,
+            )
     if lane_chunk is not None:
         if int(lane_chunk) < 1:
             raise ValueError(f"lane_chunk must be >= 1; got {lane_chunk}")
