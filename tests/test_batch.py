@@ -432,7 +432,6 @@ def test_m3_wide_batch_auto_guard(monkeypatch):
 
     monkeypatch.setattr(bm, "_default_backend", lambda: "tpu")
     monkeypatch.setattr(bm, "_TPU_M3_SAFE_LANES", 4)
-    monkeypatch.setattr(bm, "_TPU_M3_MONO_SAFE_LANES", 3)
     with pytest.warns(UserWarning, match="lane_chunk=4 and iter_chunk=50"):
         guarded = minimize_proximal_gradient_batch(f, g, jac, prox, x0s, **kw)
     np.testing.assert_array_equal(guarded.nit, ref.nit)
@@ -445,12 +444,25 @@ def test_m3_wide_batch_auto_guard(monkeypatch):
         )
     np.testing.assert_allclose(guarded2.x, ref.x, atol=1e-12)
 
-    # The depth guard fires alone when the per-dispatch width is past the
-    # monolithic bound but under the lane bound (the round-4 B=1000 mode).
+    # The depth guard fires alone at ANY width under the lane bound: the
+    # depth fault mode is pure kernel runtime, width-independent (round-4
+    # on-chip: a B=256 batch running to max_iter=3000 faulted where
+    # iter_chunk=50 ran clean).
     monkeypatch.setattr(bm, "_TPU_M3_SAFE_LANES", 100)
     with pytest.warns(UserWarning, match=r"auto-applying iter_chunk=50"):
         guarded3 = minimize_proximal_gradient_batch(f, g, jac, prox, x0s, **kw)
     np.testing.assert_allclose(guarded3.x, ref.x, atol=1e-12)
+
+    # ... but not when max_iter already bounds the kernel at or under the
+    # safe depth: no knob is needed, so no warning fires.
+    import warnings as _w0
+
+    with _w0.catch_warnings():
+        _w0.simplefilter("error")
+        short = minimize_proximal_gradient_batch(
+            f, g, jac, prox, x0s, max_iter=50, **kw
+        )
+    np.testing.assert_allclose(short.x, ref.x, atol=1e-12)
 
     # Explicit knobs (any values) override the guard entirely: no warning.
     import warnings as _w

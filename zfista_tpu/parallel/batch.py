@@ -61,16 +61,15 @@ from zfista_tpu.core.solver import (
 #: on-chip isolation, DESIGN.md "Known limitations"; standalone repro in
 #: tools/repro_m3_width_fault.py).  Batches wider than this auto-chunk.
 _TPU_M3_SAFE_LANES = 1024
-#: Widest m>=3 batch ever observed to run clean as a full-depth MONOLITHIC
-#: while_loop kernel: the monolithic boundary is unstable across sessions
-#: (B=1024 clean round 3; B=1000 faulted round 4 while B=512 ran clean and
-#: iter_chunk=50 cured B=1000), so any per-dispatch width above this gets
-#: a kernel-depth bound.
-_TPU_M3_MONO_SAFE_LANES = 512
-#: Kernel-depth bound the auto-guard applies past _TPU_M3_MONO_SAFE_LANES:
-#: 50 outer iterations per dispatched kernel kept every wide run clean
-#: (round-3 B=2048 manual run; round-4 B=2048 out-of-the-box and B=1000
-#: bisection — BENCHMARKS.md).
+#: Kernel-depth bound the auto-guard applies to EVERY unbounded m>=3 TPU
+#: batch: the depth fault mode is pure kernel runtime, independent of
+#: width.  Round-4 bisection: B=1000 full-depth faulted where B=512 ran
+#: clean (short solves, tens of iterations/lane) — but a B=256 batch whose
+#: lanes all ran to max_iter=3000 (a minutes-long monolithic while_loop
+#: kernel) faulted too, so no width is safe once the kernel runs long.
+#: 50 outer iterations per dispatched kernel kept every run clean
+#: (round-3 B=2048 manual run; round-4 B=2048 out-of-the-box, B=1000
+#: bisection, and the B=256 deep-kernel rerun — BENCHMARKS.md).
 _TPU_M3_SAFE_ITER_CHUNK = 50
 
 
@@ -397,12 +396,13 @@ def minimize_proximal_gradient_batch(
     the knobs the backend's measured fault modes require, with a warning
     naming what was chosen: ``lane_chunk=1024`` when the batch is wider
     than 1024 lanes (one program past that width faults the device
-    regardless of kernel length), and ``iter_chunk=50`` when the
-    per-dispatch width exceeds 512 lanes (full-depth monolithic kernels
-    fault at widths the short-kernel path handles, and that boundary
-    moves between sessions).  Explicitly passed values are always
-    respected — ``lane_chunk=len(x0s), iter_chunk=max_iter`` forces one
-    unchunked program.
+    regardless of kernel length), and ``iter_chunk=50`` whenever
+    ``max_iter`` does not already bound the kernel (long-running
+    monolithic kernels fault the device at ANY width — a B=256 batch
+    running minutes-long faulted where ``iter_chunk=50`` runs clean).
+    Explicitly passed values are always respected —
+    ``lane_chunk=len(x0s), iter_chunk=max_iter`` forces one unchunked
+    program.
 
     ``iter_chunk`` bounds how many solver iterations one device kernel
     runs (the kernel-runtime guard for heavy lanes); with ``history=True``
@@ -452,13 +452,12 @@ def minimize_proximal_gradient_batch(
         # standalone repro: tools/repro_m3_width_fault.py):
         #   width  — one program wider than ~1024 lanes faults regardless
         #            of kernel length -> chunk the lane axis;
-        #   depth  — a full-depth monolithic while_loop kernel faults at
-        #            widths the short-kernel path handles (B=1000 faulted
-        #            round 4 where iter_chunk=50 ran clean, and the
-        #            boundary has MOVED between sessions: B=1024 was
-        #            clean in round 3) -> bound each kernel's step count
-        #            whenever the per-dispatch width exceeds the widest
-        #            monolithic run ever observed clean (512).
+        #   depth  — a long-running monolithic while_loop kernel faults at
+        #            ANY width (round-4 bisection: B=1000 full-depth
+        #            faulted where iter_chunk=50 ran clean; a B=256 batch
+        #            with all lanes at max_iter=3000 — a minutes-long
+        #            kernel — faulted too) -> bound every kernel's step
+        #            count unless max_iter already bounds it.
         # Both knobs are parity-preserving (the chunked drivers are
         # bitwise the monolithic one, test-pinned); explicitly passed
         # values are always respected.
@@ -466,18 +465,17 @@ def minimize_proximal_gradient_batch(
         if lane_chunk is None and int(x0s.shape[0]) > _TPU_M3_SAFE_LANES:
             lane_chunk = _TPU_M3_SAFE_LANES
             applied.append(f"lane_chunk={_TPU_M3_SAFE_LANES}")
-        width = int(x0s.shape[0]) if lane_chunk is None else min(
-            int(x0s.shape[0]), int(lane_chunk)
-        )
-        if iter_chunk is None and width > _TPU_M3_MONO_SAFE_LANES:
+        if iter_chunk is None and int(max_iter) > _TPU_M3_SAFE_ITER_CHUNK:
             iter_chunk = _TPU_M3_SAFE_ITER_CHUNK
             applied.append(f"iter_chunk={_TPU_M3_SAFE_ITER_CHUNK}")
         if applied:
             warnings.warn(
-                f"auto-applying {' and '.join(applied)}: batches with "
-                f"{m} objectives wider than {_TPU_M3_MONO_SAFE_LANES} "
-                "lanes per dispatched kernel exceed this TPU backend's "
-                "measured capacity (opaque device fault; DESIGN.md known "
+                f"auto-applying {' and '.join(applied)}: with {m} "
+                "objectives, a single program wider than "
+                f"{_TPU_M3_SAFE_LANES} lanes OR running more than "
+                f"~{_TPU_M3_SAFE_ITER_CHUNK} unbounded solver iterations "
+                "per dispatched kernel exceeds this TPU backend's measured "
+                "capacity (opaque device fault; DESIGN.md known "
                 "limitations). Pass lane_chunk/iter_chunk explicitly to "
                 "choose the bounds (explicit values are respected).",
                 stacklevel=2,
