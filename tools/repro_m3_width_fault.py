@@ -13,6 +13,9 @@ into ONE XLA program.  Two isolated fault modes on the v5e (round 3):
                 (``--mode width``);
   (b) runtime — back-to-back ~50 s monolithic dispatches fault on the
                 SECOND dispatch even at B=1024 (``--mode runtime``).
+                Round 4: this mode is WIDTH-INDEPENDENT — a single
+                minutes-long monolithic dispatch faults even at B=256
+                (``--mode runtime --lanes 256 --iters 3000``).
 
 Usage:
   python tools/repro_m3_width_fault.py --mode smoke             # sanity, any backend
