@@ -282,3 +282,92 @@ def test_masked_driver_randomized_property(seed):
     assert fast.nit == base.nit
     for name, fa, ba in zip(base.state._fields, fast.state, base.state):
         np.testing.assert_array_equal(fa, ba, err_msg=f"state field {name}")
+
+
+def _f32_freeze_problem():
+    """A deterministic f32 line-search freeze: a quadratic riding a 1e6
+    offset.  Near the optimum every objective value rounds to the same
+    float32 (ulp(1e6) = 0.0625 >> the true decrease), so the absolute
+    accept test `F_t - F_old <= model + 1e-12` rejects real progress,
+    decays lr until the trial step underflows (x_trial rounds to y), then
+    accepts the zero step — and `||x - y|| = 0 < tol` reports a FALSE
+    convergence at a point with gradient 0.02.  This is the scalar
+    analogue of the on-chip TRIDIA f32 failures (BENCHMARKS.md: 24/256
+    starts, status=2 there because the m=3 dual model value keeps the
+    reject alive to max_backtrack_iter)."""
+    OFF = jnp.float32(1e6)
+    f = lambda x: OFF + (x[0] - jnp.float32(1.0)) ** 2
+    g = lambda x: jnp.float32(0.0)
+    jac = lambda x: jnp.array([2.0], jnp.float32) * (x - jnp.float32(1.0))
+    prox = lambda t, x: x
+    x0 = np.array([1.01], np.float32)
+    return f, g, jac, prox, x0
+
+
+def test_tol_internal_rel_rescues_f32_line_search_freeze():
+    f, g, jac, prox, x0 = _f32_freeze_problem()
+    kw = dict(lr=0.25, tol=1e-5, max_iter=200)
+
+    # Default (reference accept test): the lane freezes at x0 — lr is
+    # decayed to the underflow floor and the reported "convergence" is the
+    # zero step, not progress.
+    frozen = minimize_proximal_gradient(f, g, jac, prox, x0, **kw)
+    assert abs(frozen.x[0] - 1.01) < 1e-6  # never moved
+    assert frozen.lr < 1e-4  # lr driven to the floor
+
+    # tol_internal_rel (a few f32 ulps) accepts steps whose apparent
+    # increase is within the objective's own rounding noise: the solver
+    # reaches the true optimum at the caller's lr.
+    ok = minimize_proximal_gradient(
+        f, g, jac, prox, x0, tol_internal_rel=1e-6, **kw
+    )
+    assert ok.success
+    assert abs(ok.x[0] - 1.0) < 1e-3
+    assert ok.lr == 0.25  # no spurious decay
+
+    with pytest.raises(ValueError, match="tol_internal_rel"):
+        minimize_proximal_gradient(
+            f, g, jac, prox, x0, tol_internal_rel=-1.0, **kw
+        )
+
+
+def test_tol_internal_rel_batch_parity():
+    """The batch driver threads tol_internal_rel to the same accept test:
+    a frozen lane and a rescued lane, same construction as the scalar
+    case."""
+    from zfista_tpu.parallel.batch import minimize_proximal_gradient_batch
+
+    f, g, jac, prox, x0 = _f32_freeze_problem()
+    x0s = np.stack([x0, x0 + np.float32(0.02)])
+    kw = dict(lr=0.25, tol=1e-5, max_iter=200)
+
+    frozen = minimize_proximal_gradient_batch(f, g, jac, prox, x0s, **kw)
+    np.testing.assert_allclose(np.asarray(frozen.x)[:, 0], x0s[:, 0])
+
+    ok = minimize_proximal_gradient_batch(
+        f, g, jac, prox, x0s, tol_internal_rel=1e-6, **kw
+    )
+    assert bool(np.asarray(ok.success).all())
+    np.testing.assert_allclose(np.asarray(ok.x)[:, 0], 1.0, atol=1e-3)
+
+    with pytest.raises(ValueError, match="tol_internal_rel"):
+        minimize_proximal_gradient_batch(
+            f, g, jac, prox, x0s, tol_internal_rel=-1.0, **kw
+        )
+
+
+def test_tol_internal_rel_deprecated_condition():
+    """The deprecated Paper-1 accept condition scales its slack by |f(y)|
+    (its lhs is f_t - f_y): same freeze, same rescue."""
+    f, g, jac, prox, x0 = _f32_freeze_problem()
+    kw = dict(lr=0.25, tol=1e-5, max_iter=200)
+    with pytest.warns(UserWarning, match="deprecated"):
+        frozen = minimize_proximal_gradient(
+            f, g, jac, prox, x0, deprecated=True, **kw
+        )
+    assert abs(frozen.x[0] - 1.01) < 1e-6
+    with pytest.warns(UserWarning, match="deprecated"):
+        ok = minimize_proximal_gradient(
+            f, g, jac, prox, x0, deprecated=True, tol_internal_rel=1e-6, **kw
+        )
+    assert ok.success and abs(ok.x[0] - 1.0) < 1e-3

@@ -32,6 +32,7 @@ class SolverOptions:
     tol: float = 1e-5
     tol_rel: float = 0.0
     tol_internal: float = 1e-12
+    tol_internal_rel: float = 0.0
     max_iter: int = 1_000_000
     max_iter_internal: int = 100_000
     max_backtrack_iter: int = 100

@@ -93,6 +93,7 @@ def _make_step(
     tol: float,
     tol_rel: float = 0.0,
     tol_internal: float,
+    tol_internal_rel: float = 0.0,
     max_iter_internal: int,
     max_backtrack_iter: int,
     warm_start: bool,
@@ -171,6 +172,20 @@ def _make_step(
 
         def accept_test(f_t, F_t, sub_fun):
             slack = sub_fun + tol_internal
+            if tol_internal_rel:
+                # Opt-in f32 rescue (default 0 — reference accept test,
+                # trajectories bitwise): near the optimum the true decrease
+                # falls below the objective's own floating-point rounding,
+                # so `F_t - F_old` is pure cancellation noise at scale
+                # eps*|F| and the absolute test rejects every trial (even
+                # bit-equal objectives: 0 <= sub_fun + 1e-12 is False for
+                # any real model decrease), driving lr to the floor and
+                # freezing the lane at status=2 (measured: 24/256 TRIDIA
+                # f32 starts, BENCHMARKS.md).  A slack proportional to the
+                # comparison's own magnitude accepts steps whose apparent
+                # increase is within that rounding noise.
+                ref = f_y if deprecated else F_old
+                slack = slack + tol_internal_rel * jnp.abs(ref)
             if deprecated:
                 # Old Paper-1 condition: f(x) - f(y) <= model + tol
                 # (reference: proximal_gradient.py:300-301).
@@ -648,6 +663,7 @@ def minimize_proximal_gradient(
     tol: float = 1e-5,
     tol_rel: float = 0.0,
     tol_internal: float = 1e-12,
+    tol_internal_rel: float = 0.0,
     max_iter: int = 1000000,
     max_iter_internal: int = 100000,
     max_backtrack_iter: int = 100,
@@ -706,6 +722,19 @@ def minimize_proximal_gradient(
     ``tol`` (e.g. FDS objectives ~1e4 in float32 on TPU cannot reach
     ``tol=1e-5`` absolutely); with it 0 every trajectory is bitwise the
     reference criterion.
+
+    ``tol_internal_rel`` (default 0, the reference behavior) is the
+    analogous opt-in slack on the backtracking ACCEPT test: the trial is
+    accepted when ``F(x_trial) - F(x_k) <= model + tol_internal +
+    tol_internal_rel * |F(x_k)|`` (``|f(y)|`` scales the deprecated
+    condition).
+    Use it when float32 line searches freeze: near the optimum the true
+    decrease falls below the objective's own rounding (eps*|F|), the
+    absolute test rejects every trial, and the lane ends status=2 with lr
+    at the floor (measured: 24/256 TRIDIA f32 starts on TPU,
+    BENCHMARKS.md).  A few float32 ulps (e.g. ``1e-6``) accepts steps
+    whose apparent increase is within that noise; with it 0 every
+    trajectory is bitwise the reference accept test.
     """
     if deprecated:
         warnings.warn(
@@ -766,10 +795,15 @@ def minimize_proximal_gradient(
     )
     if tol_rel < 0:
         raise ValueError(f"tol_rel must be >= 0, got {tol_rel}")
+    if tol_internal_rel < 0:
+        raise ValueError(
+            f"tol_internal_rel must be >= 0, got {tol_internal_rel}"
+        )
     opts = dict(
         tol=tol,
         tol_rel=float(tol_rel),
         tol_internal=tol_internal,
+        tol_internal_rel=float(tol_internal_rel),
         max_iter_internal=int(max_iter_internal),
         max_backtrack_iter=int(max_backtrack_iter),
         warm_start=warm_start,

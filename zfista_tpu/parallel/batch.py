@@ -344,6 +344,7 @@ def minimize_proximal_gradient_batch(
     tol: float = 1e-5,
     tol_rel: float = 0.0,
     tol_internal: float = 1e-12,
+    tol_internal_rel: float = 0.0,
     max_iter: int = 1000000,
     max_iter_internal: int = 100000,
     max_backtrack_iter: int = 100,
@@ -409,7 +410,9 @@ def minimize_proximal_gradient_batch(
     the scan driver's per-call step count becomes
     ``min(history_chunk, iter_chunk)``, so the bound is honored on every
     driver.  ``tol_rel`` adds the opt-in iterate-scaled convergence term
-    (see :func:`zfista_tpu.minimize_proximal_gradient`).
+    and ``tol_internal_rel`` the opt-in objective-scaled line-search
+    accept slack (both default 0 — reference behavior; see
+    :func:`zfista_tpu.minimize_proximal_gradient`).
 
     **Freeze contract** (same as the single-solve facade): repeat batch
     solves with the same callables, shapes and options reuse one compiled
@@ -423,6 +426,10 @@ def minimize_proximal_gradient_batch(
         raise ValueError(f"x0s must be (batch, n_features); got {x0s.shape}")
     if tol_rel < 0:
         raise ValueError(f"tol_rel must be >= 0, got {tol_rel}")
+    if tol_internal_rel < 0:
+        raise ValueError(
+            f"tol_internal_rel must be >= 0, got {tol_internal_rel}"
+        )
     if not jnp.issubdtype(x0s.dtype, jnp.floating):
         x0s = x0s.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
@@ -511,6 +518,7 @@ def minimize_proximal_gradient_batch(
                     tol=tol,
                     tol_rel=tol_rel,
                     tol_internal=tol_internal,
+                    tol_internal_rel=tol_internal_rel,
                     max_iter=max_iter,
                     max_iter_internal=max_iter_internal,
                     max_backtrack_iter=max_backtrack_iter,
@@ -550,6 +558,7 @@ def minimize_proximal_gradient_batch(
         tol=tol,
         tol_rel=float(tol_rel),
         tol_internal=tol_internal,
+        tol_internal_rel=float(tol_internal_rel),
         max_iter_internal=int(max_iter_internal),
         max_backtrack_iter=int(max_backtrack_iter),
         warm_start=warm_start,
