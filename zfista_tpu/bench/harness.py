@@ -79,6 +79,7 @@ def benchmark(
     n_samples: int = 100,
     max_iter: int = 10_000,
     tol_internal: float = 1e-11,
+    tol_internal_rel: float = 0.0,
     seed: int = 42,
     history: bool = True,
     variants: dict | None = None,
@@ -87,6 +88,8 @@ def benchmark(
 
     Mirrors reference benchmark.py:303-374 (same sampling box semantics,
     same ``tol_internal=1e-11``), with each variant one batched solve.
+    ``tol_internal_rel`` (default 0 — reference accept test) is the f32
+    line-search rescue for on-TPU suite runs (docs/API.md).
     """
     rng = np.random.default_rng(seed)
     x0s = rng.uniform(low, high, size=(n_samples, problem.n_features))
@@ -102,6 +105,7 @@ def benchmark(
             x0s,
             max_iter=max_iter,
             tol_internal=tol_internal,
+            tol_internal_rel=tol_internal_rel,
             history=history,
             **opts,
         )
@@ -285,6 +289,13 @@ def main(argv: Sequence[str] | None = None) -> None:
     parser.add_argument("--no-plots", action="store_true")
     parser.add_argument("--max-iter", type=int, default=10_000)
     parser.add_argument("--n-samples", type=int, default=100)
+    parser.add_argument(
+        "--tol-internal-rel",
+        type=float,
+        default=0.0,
+        help="objective-scaled line-search accept slack (f32 rescue for "
+        "on-TPU runs, e.g. 4e-7; default 0 = reference accept test)",
+    )
     parser.add_argument("--out", type=Path, default=Path("bench_results"))
     args = parser.parse_args(argv)
 
@@ -309,6 +320,7 @@ def main(argv: Sequence[str] | None = None) -> None:
             overwrite=args.overwrite,
             n_samples=args.n_samples,
             max_iter=args.max_iter,
+            tol_internal_rel=args.tol_internal_rel,
         )
         metrics, ratios = calculate_metrics(*results.items())
         ratios_all[problem.name] = ratios
