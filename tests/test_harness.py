@@ -1,8 +1,6 @@
 """Benchmark-harness unit tests: problem sweep composition, performance
 profiles, cache behavior, and one end-to-end mini cell with artifacts."""
 
-import json
-
 import pytest
 
 import numpy as np

@@ -82,9 +82,7 @@ def test_lane_chunked_sweep_consistent():
     np.testing.assert_array_equal(res_chunk.x, res_full.x)
     lst = res_chunk.to_list()
     assert len(lst) == 14
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         momentum_sweep(prob, -2, 4, n_starts=4, ab_grid=pairs, lane_chunk=0)
 
 

@@ -8,7 +8,6 @@ results.
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from zfista_tpu.models.lasso import Lasso, fista_step_dense, operator_norm_sq
 from zfista_tpu.parallel.sharding import (
