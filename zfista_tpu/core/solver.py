@@ -994,6 +994,7 @@ def minimize_proximal_gradient(
         tol=tol,
         tol_rel=tol_rel,
         tol_internal=tol_internal,
+        tol_internal_rel=tol_internal_rel,
         nesterov=nesterov,
         nesterov_ratio=nesterov_ratio,
         x=np.asarray(host.x),

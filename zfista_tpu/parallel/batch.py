@@ -135,6 +135,7 @@ class BatchResult(SolveResult):
                 tol=self.tol,
                 tol_rel=self.get("tol_rel", 0.0),
                 tol_internal=self.tol_internal,
+                tol_internal_rel=self.get("tol_internal_rel", 0.0),
                 nesterov=self.nesterov,
                 # (B, 2) when the batch ran per-lane momentum pairs
                 nesterov_ratio=(
@@ -807,6 +808,7 @@ def minimize_proximal_gradient_batch(
                 None,
                 keep_state,
                 tol_rel=tol_rel,
+                tol_internal_rel=tol_internal_rel,
             )
 
         def drive(states, *sa):
@@ -896,6 +898,7 @@ def minimize_proximal_gradient_batch(
         F0=F0_all,
         vec_head=vec_head,
         tol_rel=tol_rel,
+        tol_internal_rel=tol_internal_rel,
     )
 
 
@@ -916,6 +919,7 @@ def _pack_result(
     F0=None,
     vec_head=None,
     tol_rel=0.0,
+    tol_internal_rel=0.0,
 ) -> BatchResult:
     converged = _host_array(states.converged)
     failed = _host_array(states.failed)
@@ -939,6 +943,7 @@ def _pack_result(
         tol=tol,
         tol_rel=tol_rel,
         tol_internal=tol_internal,
+        tol_internal_rel=tol_internal_rel,
         nesterov=nesterov,
         nesterov_ratio=nesterov_ratio,
     )
