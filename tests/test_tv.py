@@ -336,33 +336,40 @@ def test_fgp_strips_matches_xla_bitwise_interpret():
     assert tv_pallas.strip_rows(v.shape, v.dtype) == 32
     lam = jnp.asarray(0.15, jnp.float32)
     p0 = q0 = jnp.zeros_like(v)
-    for iso in (True, False):
-        for n_iter in (5, 8, 20):
-            u_x = prox_tv(lam, v, n_iter=n_iter, isotropic=iso, method="xla")
-            u_s, _, _ = tv_pallas.fgp_pallas_strips(
-                lam, v, p0, q0, n_iter=n_iter, isotropic=iso, interpret=True
-            )
-            np.testing.assert_array_equal(np.asarray(u_s), np.asarray(u_x))
-    # warm dual
-    _, d0 = prox_tv(lam, v, n_iter=30, method="xla", return_dual=True)
-    u_x = prox_tv(lam, v, n_iter=8, method="xla", dual0=d0)
-    u_s, _, _ = tv_pallas.fgp_pallas_strips(
-        lam, v, d0[0], d0[1], n_iter=8, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(u_s), np.asarray(u_x))
-    # vmap over (lam, v) lanes == per-lane unbatched
-    vs = jnp.asarray(rng.standard_normal((3, 160, 128)), jnp.float32)
-    lams = jnp.asarray([0.05, 0.15, 0.4], jnp.float32)
-    us = jax.vmap(
-        lambda l, vv: tv_pallas.fgp_pallas_strips(
-            l, vv, p0, q0, n_iter=8, interpret=True
-        )[0]
-    )(lams, vs)
-    for i in range(3):
-        u1, _, _ = tv_pallas.fgp_pallas_strips(
-            lams[i], vs[i], p0, q0, n_iter=8, interpret=True
+    for pipe in (False, True):  # serial sweep and double-buffered sweep
+        for iso in (True, False):
+            for n_iter in (5, 8, 20):
+                u_x = prox_tv(
+                    lam, v, n_iter=n_iter, isotropic=iso, method="xla"
+                )
+                u_s, _, _ = tv_pallas.fgp_pallas_strips(
+                    lam, v, p0, q0, n_iter=n_iter, isotropic=iso,
+                    interpret=True, pipelined=pipe,
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(u_s), np.asarray(u_x)
+                )
+        # warm dual
+        _, d0 = prox_tv(lam, v, n_iter=30, method="xla", return_dual=True)
+        u_x = prox_tv(lam, v, n_iter=8, method="xla", dual0=d0)
+        u_s, _, _ = tv_pallas.fgp_pallas_strips(
+            lam, v, d0[0], d0[1], n_iter=8, interpret=True, pipelined=pipe
         )
-        np.testing.assert_array_equal(np.asarray(us[i]), np.asarray(u1))
+        np.testing.assert_array_equal(np.asarray(u_s), np.asarray(u_x))
+        # vmap over (lam, v) lanes == per-lane unbatched
+        vs = jnp.asarray(rng.standard_normal((3, 160, 128)), jnp.float32)
+        lams = jnp.asarray([0.05, 0.15, 0.4], jnp.float32)
+        us = jax.vmap(
+            lambda l, vv: tv_pallas.fgp_pallas_strips(
+                l, vv, p0, q0, n_iter=8, interpret=True, pipelined=pipe
+            )[0]
+        )(lams, vs)
+        for i in range(3):
+            u1, _, _ = tv_pallas.fgp_pallas_strips(
+                lams[i], vs[i], p0, q0, n_iter=8,
+                interpret=True, pipelined=pipe,
+            )
+            np.testing.assert_array_equal(np.asarray(us[i]), np.asarray(u1))
 
 
 def test_strip_rows_capacity_rules():
@@ -377,6 +384,14 @@ def test_strip_rows_capacity_rules():
     assert tv_pallas.strip_rows((1024, 512), jnp.float32) == 256
     assert tv_pallas.strip_rows((600, 600), jnp.float32) is None
     assert tv_pallas.strip_rows((16, 128), jnp.float32) is None
+    # The double-buffered variant's prefetch slots cost 5 extra tiles but
+    # keep the same S at the record sizes ...
+    assert tv_pallas.strip_rows((1024, 1024), jnp.float32, pipelined=True) == 128
+    assert tv_pallas.strip_rows((2048, 2048), jnp.float32, pipelined=True) == 64
+    # ... and shrink it on shapes near the serial budget's edge — there
+    # the dispatch keeps the serial kernel (ops/tv.py prox_tv).
+    assert tv_pallas.strip_rows((1024, 1664), jnp.float32) == 128
+    assert tv_pallas.strip_rows((1024, 1664), jnp.float32, pipelined=True) == 64
 
 
 def test_prox_tv_dispatches_strips_past_vmem_on_tpu(monkeypatch):
@@ -394,8 +409,8 @@ def test_prox_tv_dispatches_strips_past_vmem_on_tpu(monkeypatch):
     real = tv_pallas.fgp_pallas_strips
     calls = []
 
-    def fake(lam, v, p0, q0, n_iter, isotropic, interpret):
-        calls.append(v.shape)
+    def fake(lam, v, p0, q0, n_iter, isotropic, interpret, pipelined=False):
+        calls.append((v.shape, pipelined))
         return real(
             lam, v, p0, q0, n_iter=n_iter, isotropic=isotropic, interpret=True
         )
@@ -403,7 +418,9 @@ def test_prox_tv_dispatches_strips_past_vmem_on_tpu(monkeypatch):
     monkeypatch.setattr(tv_pallas, "fgp_pallas_strips", fake)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     u = prox_tv(lam, v, n_iter=2, method="pallas")
-    assert calls == [(1024, 512)]
+    # At (1024, 512) the pipelined budget keeps the same strip height
+    # (S=256), so the dispatch picks the double-buffered kernel.
+    assert calls == [((1024, 512), True)]
     np.testing.assert_array_equal(np.asarray(u), np.asarray(u_ref))
 
 
@@ -442,3 +459,18 @@ def test_prox_tv_pallas_on_tpu_parity():
             g_x = float(tv_dual_gap(lam, v, u_x, d_x, isotropic=iso))
             g_p = float(tv_dual_gap(lam, v, u_p, d_p, isotropic=iso))
             np.testing.assert_allclose(g_p, g_x, rtol=1e-3, atol=1e-6)
+    # Past-VMEM shape: the serial and double-buffered strip kernels must
+    # agree BITWISE on real Mosaic (identical per-strip compute; only DMA
+    # scheduling differs — observed bitwise on v5e, round 4).
+    from zfista_tpu.ops import tv_pallas
+
+    v = jnp.asarray(rng.standard_normal((1024, 1024)), jnp.float32)
+    lam = jnp.asarray(0.15, jnp.float32)
+    z = jnp.zeros_like(v)
+    u_s, p_s, q_s = tv_pallas.fgp_pallas_strips(lam, v, z, z, n_iter=30)
+    u_d, p_d, q_d = tv_pallas.fgp_pallas_strips(
+        lam, v, z, z, n_iter=30, pipelined=True
+    )
+    np.testing.assert_array_equal(np.asarray(u_d), np.asarray(u_s))
+    np.testing.assert_array_equal(np.asarray(p_d), np.asarray(p_s))
+    np.testing.assert_array_equal(np.asarray(q_d), np.asarray(q_s))

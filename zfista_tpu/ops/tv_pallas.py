@@ -56,6 +56,10 @@ _STRIP_K = 8
 #: ~4 stencil temporaries + the 4 input staging tiles Mosaic may not
 #: overlap with the carry.
 _STRIP_LIVE_BUFFERS = 13
+#: Live tiles for the double-buffered sweep: 2 x 5 input slots (current +
+#: prefetch; results are written back into the current slot, no separate
+#: staging) + ~4 stencil temporaries.
+_STRIP_LIVE_BUFFERS_PIPE = 14
 
 
 def fits_vmem(shape: tuple[int, ...], dtype) -> bool:
@@ -66,22 +70,27 @@ def fits_vmem(shape: tuple[int, ...], dtype) -> bool:
     return _LIVE_BUFFERS * n * jnp.dtype(dtype).itemsize <= _VMEM_CAP_BYTES
 
 
-def strip_rows(shape: tuple[int, ...], dtype) -> int | None:
+def strip_rows(
+    shape: tuple[int, ...], dtype, pipelined: bool = False
+) -> int | None:
     """Strip height ``S`` for the past-VMEM sweep kernel, or ``None`` when
     no admissible blocking exists (then callers use the XLA loop).
 
     Constraints: ``S`` divides ``H`` (identical static tiles per grid
     step), the image is taller than one haloed tile, and
-    ``_STRIP_LIVE_BUFFERS`` tiles of ``(S + 2k, W)`` fit the VMEM cap.
-    Larger ``S`` is preferred — halo redundancy is ``2k/S``.
+    ``_STRIP_LIVE_BUFFERS`` tiles of ``(S + 2k, W)`` fit the VMEM cap
+    (``_STRIP_LIVE_BUFFERS_PIPE`` for the double-buffered variant, whose
+    prefetch slots cost 5 extra tiles).  Larger ``S`` is preferred — halo
+    redundancy is ``2k/S``.
     """
     H, W = (int(d) for d in shape)
     item = jnp.dtype(dtype).itemsize
+    live = _STRIP_LIVE_BUFFERS_PIPE if pipelined else _STRIP_LIVE_BUFFERS
     for S in (512, 256, 128, 64, 32):
         if H % S or H < S + 2 * _STRIP_K or S < _STRIP_K:
             continue
         tile = (S + 2 * _STRIP_K) * W * item
-        if _STRIP_LIVE_BUFFERS * tile <= _VMEM_CAP_BYTES:
+        if live * tile <= _VMEM_CAP_BYTES:
             return S
     return None
 
@@ -289,7 +298,136 @@ def _fgp_strip_kernel(
     )
 
 
-@partial(jax.jit, static_argnames=("n_iter", "isotropic", "interpret"))
+def _fgp_strip_kernel_pipelined(
+    lam_ref,
+    t0_ref,
+    v_hbm,
+    p_hbm,
+    q_hbm,
+    r_hbm,
+    s_hbm,
+    po_hbm,
+    qo_hbm,
+    ro_hbm,
+    so_hbm,
+    vt,
+    pt,
+    qt,
+    rt,
+    st,
+    in_sems,
+    out_sems,
+    *,
+    n_iter: int,
+    isotropic: bool,
+    S: int,
+    halo: int,
+    H: int,
+    W: int,
+):
+    """Double-buffered strip sweep: same math as :func:`_fgp_strip_kernel`,
+    with the next strip's haloed window prefetched during this strip's
+    compute and the previous strip's output DMA drained during it too.
+
+    TPU grid steps run sequentially on one core and ``pallas_call``
+    ``scratch_shapes`` buffers persist across them (``run_scoped`` scratch
+    does NOT — it re-allocates per grid step, measured: strips 1+ read
+    garbage), so step ``i`` can start the DMA for strip ``i+1`` into the
+    alternate input slot (the canonical double-buffer pattern) — the
+    serial kernel instead sits idle on both transfers.  Results go back
+    into the current slot's tiles and the output DMA from them is drained
+    at the top of the NEXT step, just before the prefetch that would
+    overwrite that slot — per-strip output copies are microseconds, so
+    what matters is never stalling compute on them.  Every DMA start is
+    waited exactly once: input for strip ``j`` (started at step ``j-1``,
+    or step 0 for ``j=0``) is waited at step ``j``; output for step
+    ``i <= n-2`` at step ``i+1``; the final step drains its own.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    T = S + 2 * halo
+
+    def start_of(j):
+        # Haloed window clamped inside the image (see _fgp_strip_kernel):
+        # edge windows slide inward, all tiles share one static shape.
+        return pl.multiple_of(jnp.clip(j * S - halo, 0, H - T), 8)
+
+    ins = (v_hbm, p_hbm, q_hbm, r_hbm, s_hbm)
+    tiles = (vt, pt, qt, rt, st)
+
+    def in_copies(j, slot):
+        row = start_of(j)
+        return [
+            pltpu.make_async_copy(
+                src.at[pl.ds(row, T)], dst.at[slot], in_sems.at[slot, k]
+            )
+            for k, (src, dst) in enumerate(zip(ins, tiles))
+        ]
+
+    two = jnp.asarray(2, i.dtype)  # x64 mode must not promote the literal
+    slot = lax.rem(i, two)
+    nslot = lax.rem(i + 1, two)
+
+    outs = (po_hbm, qo_hbm, ro_hbm, so_hbm)
+
+    def out_copies(j, oslot):
+        # Results live in the input slot's p/q/r/s tiles (no separate
+        # staging — it would cost 4 more live tiles, measured 208 KB past
+        # the 2048^2 scoped-vmem limit); the copy reads the interior rows.
+        off = pl.multiple_of(j * S - start_of(j), 8)
+        return [
+            pltpu.make_async_copy(
+                src.at[oslot, pl.ds(off, S)],
+                dst.at[pl.ds(j * S, S)],
+                out_sems.at[k],
+            )
+            for k, (src, dst) in enumerate(zip((pt, qt, rt, st), outs))
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for c in in_copies(0, 0):
+            c.start()
+
+    @pl.when(i > 0)
+    def _():
+        # Drain step i-1's output DMA BEFORE the prefetch below overwrites
+        # the slot it reads from (slot (i-1)%2 == nslot).  The copy
+        # descriptor only determines the wait size — all steps copy S x W.
+        for c in out_copies(i - 1, nslot):
+            c.wait()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for c in in_copies(i + 1, nslot):
+            c.start()
+
+    for c in in_copies(i, slot):
+        c.wait()
+
+    v = vt[slot]
+    lam = lam_ref[0, 0]
+    t0 = t0_ref[0, 0]
+    rows = start_of(i) + lax.broadcasted_iota(jnp.int32, (T, W), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    _, body = _fgp_step_fns(v, lam, rows, cols, H, W, isotropic)
+    p, q, r, s, _ = lax.fori_loop(
+        0, n_iter, body, (pt[slot], qt[slot], rt[slot], st[slot], t0)
+    )
+
+    pt[slot], qt[slot], rt[slot], st[slot] = p, q, r, s
+    for c in out_copies(i, slot):
+        c.start()
+
+    @pl.when(i == n - 1)
+    def _():
+        for c in out_copies(i, slot):
+            c.wait()
+
+
+@partial(
+    jax.jit, static_argnames=("n_iter", "isotropic", "interpret", "pipelined")
+)
 def fgp_pallas_strips(
     lam: Array,
     v: Array,
@@ -298,6 +436,7 @@ def fgp_pallas_strips(
     n_iter: int = 50,
     isotropic: bool = True,
     interpret: bool = False,
+    pipelined: bool = False,
 ) -> tuple[Array, Array, Array]:
     """FGP for images past the all-VMEM wall: ``n_iter`` dual iterations as
     ``ceil(n_iter / k)`` strip sweeps (``k = _STRIP_K``), each sweep one
@@ -309,9 +448,18 @@ def fgp_pallas_strips(
     The momentum scalar ``t`` is global and data-independent; each sweep
     receives its starting value through SMEM and the driver advances the
     identical recursion between sweeps.
+
+    ``pipelined=True`` selects the double-buffered kernel
+    (:func:`_fgp_strip_kernel_pipelined`): identical floats (the strips
+    are independent within a sweep, so prefetch order cannot change the
+    math — parity is test-pinned bitwise), with the next strip's input
+    DMA and the previous strip's output DMA overlapping compute.  Its
+    extra prefetch slots cost 5 tiles of VMEM, which can shrink ``S``
+    (``strip_rows(..., pipelined=True)``) and with it the halo-redundancy
+    trade; dispatch decisions are measured, not assumed (BENCHMARKS.md).
     """
     H, W = (int(d) for d in v.shape)
-    S = strip_rows(v.shape, v.dtype)
+    S = strip_rows(v.shape, v.dtype, pipelined=pipelined)
     if S is None:  # pragma: no cover — callers gate on strip_rows
         raise ValueError(f"no admissible strip blocking for shape {v.shape}")
     lam_arr = jnp.reshape(jnp.asarray(lam, v.dtype), (1, 1))
@@ -319,13 +467,22 @@ def fgp_pallas_strips(
 
     def sweep(p, q, r, s, t, n_inner: int):
         kernel = partial(
-            _fgp_strip_kernel,
+            _fgp_strip_kernel_pipelined if pipelined else _fgp_strip_kernel,
             n_iter=n_inner,
             isotropic=bool(isotropic),
             S=S,
             halo=_STRIP_K,
             H=H,
             W=W,
+        )
+        T = S + 2 * _STRIP_K
+        scratch = (
+            # scratch_shapes (NOT run_scoped) so the prefetch slots and
+            # in-flight semaphores persist across the sequential grid.
+            [pltpu.VMEM((2, T, W), v.dtype) for _ in range(5)]
+            + [pltpu.SemaphoreType.DMA((2, 5)), pltpu.SemaphoreType.DMA((4,))]
+            if pipelined
+            else []
         )
         p, q, r, s = pl.pallas_call(
             kernel,
@@ -339,6 +496,7 @@ def fgp_pallas_strips(
             out_specs=tuple(
                 pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(4)
             ),
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_CAP_BYTES + 2 * 1024 * 1024,
             ),
