@@ -205,3 +205,73 @@ def test_tol_rel_zero_is_reference_criterion():
     assert b.tol_rel == 0.0
     with pytest.raises(ValueError, match="tol_rel"):
         prob.minimize_proximal_gradient(x0, tol_rel=-1e-3)
+
+
+def test_iter_chunk_bitwise_parity_and_history():
+    """iter_chunk host-chunked driving must be BITWISE the monolithic
+    while driver (frozen states no-op), including nit — and must bound
+    the scan chunk under return_all (round-4 review finding: the depth
+    fault is width-independent, so the single facade needs the same
+    kernel-runtime bound the batch API has)."""
+    prob = JOS1(n_features=10)
+    rng = np.random.default_rng(3)
+    x0 = rng.uniform(-2, 4, size=10)
+    mono = prob.minimize_proximal_gradient(x0, nesterov=True)
+    assert mono.nit > 10  # the host loop must actually re-dispatch
+    chunked = prob.minimize_proximal_gradient(x0, nesterov=True, iter_chunk=7)
+    assert chunked.nit == mono.nit
+    np.testing.assert_array_equal(chunked.x, mono.x)
+    np.testing.assert_array_equal(chunked.fun, mono.fun)
+    # return_all: the effective scan chunk is min(history_chunk, iter_chunk)
+    hist = prob.minimize_proximal_gradient(
+        x0, nesterov=True, iter_chunk=7, return_all=True
+    )
+    assert hist.nit == mono.nit
+    assert len(hist.allvecs) == mono.nit + 1
+    np.testing.assert_array_equal(hist.x, mono.x)
+    with pytest.raises(ValueError, match="iter_chunk"):
+        prob.minimize_proximal_gradient(x0, iter_chunk=0)
+
+
+def test_m3_tpu_single_solve_auto_guard(monkeypatch):
+    """On the TPU backend, m>=3 single solves auto-bound kernel depth
+    (the measured device fault is kernel RUNTIME, width-independent:
+    the default max_iter=1e6 would otherwise dispatch a monolithic
+    minutes-long while_loop).  Explicit iter_chunk is respected; results
+    are bitwise the unguarded solve."""
+    import warnings as _warnings
+
+    import zfista_tpu.core.solver as sm
+    from zfista_tpu.models.zoo import TRIDIA
+
+    prob = TRIDIA()
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-1, 1, prob.n_features)
+    base = prob.minimize_proximal_gradient(x0, nesterov=True, max_iter=5000)
+
+    monkeypatch.setattr(sm, "_default_backend", lambda: "tpu")
+    monkeypatch.setattr(sm, "_TPU_M3_SINGLE_ITER_CHUNK", 3)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        guarded = prob.minimize_proximal_gradient(
+            x0, nesterov=True, max_iter=5000
+        )
+    assert any("auto-applying iter_chunk=3" in str(w.message) for w in rec)
+    assert guarded.nit == base.nit
+    np.testing.assert_array_equal(guarded.x, base.x)
+    # explicit value: no auto-guard warning
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        explicit = prob.minimize_proximal_gradient(
+            x0, nesterov=True, max_iter=5000, iter_chunk=5000
+        )
+    assert not any("auto-applying" in str(w.message) for w in rec)
+    np.testing.assert_array_equal(explicit.x, base.x)
+    # m < 3 never triggers the guard
+    jos = JOS1(n_features=5)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        jos.minimize_proximal_gradient(
+            rng.uniform(-2, 4, size=5), nesterov=True
+        )
+    assert not any("auto-applying" in str(w.message) for w in rec)

@@ -107,6 +107,31 @@ def test_no_false_positives_on_legit_constructs(tmp_path):
     assert out == []
 
 
+def test_no_false_positives_on_module_level_match(tmp_path):
+    """match-case capture/as/star/mapping-rest patterns bind module
+    globals; names they bind (and names bound in case bodies) must not be
+    reported undefined when read from a nested scope (round-4 review
+    finding: _module_bindings skipped ast.Match entirely)."""
+    out = _check(
+        tmp_path,
+        """
+        import sys
+
+        match sys.argv:
+            case [prog, *rest]:
+                MODE = "args"
+            case {"k": v, **extra}:
+                MODE = "map"
+            case object() as whole:
+                MODE = "other"
+
+        def report():
+            return prog, rest, v, extra, whole, MODE
+        """,
+    )
+    assert out == []
+
+
 def test_init_reexports_honored(tmp_path):
     # no __all__: a pure re-export surface is exempt
     out = _check(tmp_path, "from os import sep\n", name="__init__.py")

@@ -107,7 +107,7 @@ def _module_bindings(tree: ast.Module) -> set[str]:
                     if item.optional_vars is not None:
                         bind_target(item.optional_vars)
                 visit_block(s.body)
-            elif isinstance(s, ast.Try):
+            elif isinstance(s, (ast.Try, getattr(ast, "TryStar", ast.Try))):
                 visit_block(s.body)
                 for h in s.handlers:
                     if h.name:
@@ -115,6 +115,18 @@ def _module_bindings(tree: ast.Module) -> set[str]:
                     visit_block(h.body)
                 visit_block(s.orelse)
                 visit_block(s.finalbody)
+            elif isinstance(s, ast.Match):
+                # match-case capture/as/star/mapping-rest patterns bind
+                # module-level names; case bodies are module scope too.
+                for case in s.cases:
+                    for node in ast.walk(case.pattern):
+                        name = getattr(node, "name", None)
+                        if isinstance(name, str):
+                            bound.add(name)
+                        rest = getattr(node, "rest", None)
+                        if isinstance(rest, str):
+                            bound.add(rest)
+                    visit_block(case.body)
             elif isinstance(s, (ast.Global, ast.Nonlocal)):
                 bound.update(s.names)
             elif isinstance(s, ast.Delete):

@@ -32,6 +32,8 @@ import numpy as np
 
 def _timed(solve, repeats: int):
     """(result, best wall seconds) — result from the warm/compile call."""
+    if repeats < 1:
+        raise ValueError(f"repeats must be >= 1, got {repeats}")
     res = solve()  # compile + warm
     best = np.inf
     for _ in range(repeats):

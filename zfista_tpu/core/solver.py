@@ -497,6 +497,53 @@ def make_scan_driver(step: Callable[[State], State], max_iter: int, chunk: int):
     return run
 
 
+#: Measured TPU-backend capacity bounds for m>=3 programs (the vmapped or
+#: scalar semismooth-Newton dual; DESIGN.md "Known limitations", standalone
+#: repro in tools/repro_m3_width_fault.py).  The depth fault mode is pure
+#: kernel RUNTIME, independent of batch width — a minutes-long monolithic
+#: while_loop faults the device even at width 1 lane — so EVERY unbounded
+#: m>=3 dispatch gets its kernel depth bounded.  The width bound applies
+#: only to the batch API (parallel/batch.py imports both).
+_TPU_M3_SAFE_LANES = 1024
+_TPU_M3_SAFE_ITER_CHUNK = 50
+#: Single-solve (width-1) kernel-depth bound.  The depth fault is kernel
+#: RUNTIME (~50 s faults; measured on ~1000-lane programs at 50 outer
+#: iterations/kernel).  A width-1 kernel's step is ~3 orders of magnitude
+#: lighter, so the batch bound of 50 would only add host round trips
+#: (~35 ms each through a remote tunnel); 2000 steps keeps even very
+#: heavy single-lane steps (10 ms/step = n~1e8-scale operands) well under
+#: the measured fault runtime while making the re-dispatch overhead
+#: negligible for the default max_iter=1e6 worst case (500 dispatches).
+_TPU_M3_SINGLE_ITER_CHUNK = 2000
+
+
+def _default_backend() -> str:
+    """Backend name for the capacity auto-guard (indirection so tests can
+    monkeypatch a 'tpu' answer on the hermetic CPU mesh)."""
+    return jax.default_backend()
+
+
+def make_chunk_driver(step: Callable[[State], State], max_iter: int, chunk: int):
+    """At most ``chunk`` masked steps per device call (no history).
+
+    The host loop in :func:`minimize_proximal_gradient` re-dispatches
+    until inactive — bounding single-kernel runtime for backends whose
+    long monolithic ``while_loop`` kernels fault (the m>=3 TPU depth
+    fault).  Frozen states no-op, so the final state is bitwise identical
+    to the monolithic while driver's, including ``nit``.
+    """
+
+    def masked_step(state: State) -> State:
+        active = _active(state, max_iter)
+        new = step(state)
+        return jax.tree.map(lambda a, b: jnp.where(active, a, b), new, state)
+
+    def run(state: State) -> State:
+        return lax.fori_loop(0, chunk, lambda _, s: masked_step(s), state)
+
+    return run
+
+
 #: Compiled-driver cache: repeated solves with the SAME callables, shapes
 #: and options reuse one traced+compiled XLA program instead of retracing
 #: per call (host-side tracing otherwise dominates short solves).  Keyed on
@@ -677,6 +724,7 @@ def minimize_proximal_gradient(
     history_chunk: int = 512,
     initial_state: State | None = None,
     check_every: int = 1,
+    iter_chunk: int | None = None,
     adaptive_restart: bool = False,
     project_momentum: bool = False,
     params: Any = None,
@@ -735,6 +783,16 @@ def minimize_proximal_gradient(
     BENCHMARKS.md).  A few float32 ulps (e.g. ``1e-6``) accepts steps
     whose apparent increase is within that noise; with it 0 every
     trajectory is bitwise the reference accept test.
+
+    ``iter_chunk`` bounds how many solver iterations one device kernel
+    runs; the host re-dispatches until convergence, bitwise identical to
+    the monolithic program (frozen states no-op), including ``nit``.  On
+    the TPU backend, m>=3 solves whose ``max_iter`` does not already
+    bound the kernel auto-apply it with a warning — this backend's
+    measured depth fault is pure kernel runtime, independent of batch
+    width (DESIGN.md known limitations; the batch API applies the same
+    guard).  An explicitly passed value is always respected
+    (``iter_chunk=max_iter`` forces one monolithic kernel).
     """
     if deprecated:
         warnings.warn(
@@ -799,6 +857,42 @@ def minimize_proximal_gradient(
         raise ValueError(
             f"tol_internal_rel must be >= 0, got {tol_internal_rel}"
         )
+    if iter_chunk is not None and int(iter_chunk) < 1:
+        raise ValueError(f"iter_chunk must be >= 1, got {iter_chunk}")
+    if (
+        iter_chunk is None
+        and m >= 3
+        and int(max_iter) > _TPU_M3_SINGLE_ITER_CHUNK
+        and _default_backend() == "tpu"
+    ):
+        # Capacity auto-guard, single-solve side (the batch API applies
+        # the same bound): the m>=3 semismooth-Newton dual's depth fault
+        # is pure kernel runtime and width-INDEPENDENT (DESIGN.md known
+        # limitations — a minutes-long monolithic while_loop faults the
+        # device even at tiny widths), and the default max_iter=1e6 lets
+        # a stalling solve run exactly such a kernel.  Explicitly passed
+        # values are always respected (iter_chunk=max_iter forces one
+        # monolithic kernel).
+        iter_chunk = _TPU_M3_SINGLE_ITER_CHUNK
+        warnings.warn(
+            f"auto-applying iter_chunk={_TPU_M3_SINGLE_ITER_CHUNK}: with {m} "
+            "objectives, a single device kernel running unbounded solver "
+            "iterations exceeds this TPU backend's measured capacity "
+            "(opaque device fault; DESIGN.md known limitations). Pass "
+            "iter_chunk explicitly to choose the bound.",
+            stacklevel=2,
+        )
+    if iter_chunk is not None and not return_all:
+        iter_chunk = int(iter_chunk)
+        if check_every > 1 and iter_chunk < int(max_iter):
+            warnings.warn(
+                "check_every > 1 is ignored when iter_chunk bounds the "
+                "kernel (the host-chunked driver re-dispatches every "
+                "iter_chunk steps).",
+                stacklevel=2,
+            )
+            check_every = 1
+            chunk_select = False
     opts = dict(
         tol=tol,
         tol_rel=float(tol_rel),
@@ -888,6 +982,11 @@ def minimize_proximal_gradient(
             # A 0-length scan records nothing and the host loop would
             # return a bogus never-ran "max iterations" result.
             raise ValueError(f"history_chunk must be >= 1, got {chunk}")
+        if iter_chunk is not None:
+            # Honor the kernel-runtime bound under return_all too: the
+            # scan driver's per-call step count IS the effective
+            # iter_chunk (same rule as the batch API under history).
+            chunk = min(chunk, int(iter_chunk))
 
         def build_scan():
             def run(state: State, p):
@@ -933,6 +1032,35 @@ def minimize_proximal_gradient(
             allfuns = [float(v[0]) for v in allfuns_arr]
         else:
             allfuns = list(allfuns_arr)
+    elif iter_chunk is not None and iter_chunk < max_iter:
+        # Host-chunked driving: at most iter_chunk masked steps per device
+        # call, looping on the host until inactive — bounds single-kernel
+        # runtime (the m>=3 TPU depth fault; see the auto-guard above).
+        # Bitwise identical to the monolithic while driver (frozen states
+        # no-op), including nit.
+        def build_chunk():
+            def run(st: State, p: Any) -> State:
+                step = make_step_for(p, st.x)
+                return make_chunk_driver(step, max_iter, iter_chunk)(st)
+
+            return jax.jit(run)
+
+        run_chunk = _cached_driver(
+            ("iterchunk", iter_chunk) + cache_key_base, build_chunk
+        )
+        if state is None:
+            init_run = _cached_driver(
+                ("init",) + cache_key_base, lambda: jax.jit(traced_init)
+            )
+            state = init_run(x0, _device_scalar(lr, x0.dtype), params)
+        while bool(_active(state, max_iter)):
+            state = jax.block_until_ready(run_chunk(state, params))
+        if skip_F:
+            final_run = _cached_driver(
+                ("final",) + cache_key_base, lambda: jax.jit(traced_final)
+            )
+            state = final_run(state, params)
+        allvecs = allfuns = allerrs = None
     else:
         if state is None:
             # Fresh solve: init + while-loop + final-F as ONE compiled

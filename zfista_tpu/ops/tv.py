@@ -135,7 +135,7 @@ def prox_tv(
         # here would make large-shape parity tests compare XLA to itself).
         if interpret or tv_pallas.fits_vmem(v.shape, v.dtype):
             kernel_fn = tv_pallas.fgp_pallas
-        elif tv_pallas.strip_rows(v.shape, v.dtype) is not None:
+        elif (S := tv_pallas.strip_rows(v.shape, v.dtype)) is not None:
             # Past the all-VMEM wall: temporally-blocked strip sweeps
             # stream the image through VMEM (measured 1.42x/1.52x over
             # the XLA loop at 1024^2/2048^2 — BENCHMARKS.md).  The
@@ -143,7 +143,6 @@ def prox_tv(
             # with compute (bitwise-identical on chip, +4-5% at 2048^2);
             # dispatch it unless its 5 extra prefetch tiles would shrink
             # the strip height and with it the halo-redundancy trade.
-            S = tv_pallas.strip_rows(v.shape, v.dtype)
             pipe = tv_pallas.strip_rows(v.shape, v.dtype, pipelined=True)
             kernel_fn = partial(
                 tv_pallas.fgp_pallas_strips, pipelined=pipe == S

@@ -60,17 +60,17 @@ from zfista_tpu.core.solver import (
 #: and hard-faults the device ("TPU device error") at B=1536 (round-3
 #: on-chip isolation, DESIGN.md "Known limitations"; standalone repro in
 #: tools/repro_m3_width_fault.py).  Batches wider than this auto-chunk.
-_TPU_M3_SAFE_LANES = 1024
-#: Kernel-depth bound the auto-guard applies to EVERY unbounded m>=3 TPU
-#: batch: the depth fault mode is pure kernel runtime, independent of
-#: width.  Round-4 bisection: B=1000 full-depth faulted where B=512 ran
-#: clean (short solves, tens of iterations/lane) — but a B=256 batch whose
-#: lanes all ran to max_iter=3000 (a minutes-long monolithic while_loop
-#: kernel) faulted too, so no width is safe once the kernel runs long.
-#: 50 outer iterations per dispatched kernel kept every run clean
-#: (round-3 B=2048 manual run; round-4 B=2048 out-of-the-box, B=1000
-#: bisection, and the B=256 deep-kernel rerun — BENCHMARKS.md).
-_TPU_M3_SAFE_ITER_CHUNK = 50
+#: The kernel-depth bound (_TPU_M3_SAFE_ITER_CHUNK = 50 outer iterations
+#: per dispatched kernel) guards the width-INDEPENDENT runtime fault mode:
+#: round-4 bisection found B=1000 full-depth faulted where B=512 ran
+#: clean, and a B=256 batch whose lanes all ran to max_iter=3000 (a
+#: minutes-long monolithic while_loop kernel) faulted too.  Both constants
+#: live in core.solver (whose single-solve facade applies its own depth
+#: guard) and are re-exported here for the tests that pin the guard.
+from zfista_tpu.core.solver import (  # noqa: E402  (after docstring refs)
+    _TPU_M3_SAFE_ITER_CHUNK,
+    _TPU_M3_SAFE_LANES,
+)
 
 
 def _default_backend() -> str:
@@ -430,6 +430,21 @@ def minimize_proximal_gradient_batch(
     if tol_internal_rel < 0:
         raise ValueError(
             f"tol_internal_rel must be >= 0, got {tol_internal_rel}"
+        )
+    # Normalize the GLOBAL momentum pair to a tuple up front: an
+    # array-valued (a, b) would be stored in results as an ndarray, and an
+    # ndarray of length == lane_chunk would be wrongly concatenated by the
+    # chunk merge's per-lane registry ('nesterov_ratio' is registered for
+    # the (B, 2) per-lane form; the global form must stay non-array).
+    # Tuples/lists keep their elements as-is (the momentum sweep passes
+    # exact Fractions); only arrays are converted.
+    if isinstance(nesterov_ratio, (np.ndarray, jax.Array)):
+        nesterov_ratio = tuple(np.asarray(nesterov_ratio).ravel().tolist())
+    else:
+        nesterov_ratio = tuple(nesterov_ratio)
+    if len(nesterov_ratio) != 2:
+        raise ValueError(
+            f"nesterov_ratio must be a pair (a, b); got {nesterov_ratio!r}"
         )
     if not jnp.issubdtype(x0s.dtype, jnp.floating):
         x0s = x0s.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
