@@ -18,4 +18,8 @@ from zfista_tpu.core.solver import minimize_proximal_gradient
 
 __all__ = ["minimize_proximal_gradient", "SolveResult", "SolverOptions"]
 
-__version__ = "0.1.0"
+# Single source of truth for the package version: pyproject.toml declares
+# ``dynamic = ["version"]`` and reads THIS attribute at build time
+# (tool.setuptools.dynamic), so wheels/sdists can never disagree with the
+# runtime value.  tests/test_api_docs.py asserts the TOML wiring stays put.
+__version__ = "0.3.0"
