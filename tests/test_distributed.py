@@ -70,6 +70,8 @@ def _run_parity_workers(n_processes: int, local_devices: int) -> None:
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
         assert f"PARITY_OK process={i}/{n_processes}" in out, out[-2000:]
+        # The tensor-parallel case (model axis spanning processes) ran too.
+        assert f"TP_PARITY_OK process={i}/{n_processes}" in out, out[-2000:]
 
 
 def test_two_process_sharded_solve_matches_single():

@@ -630,6 +630,39 @@ def _device_scalar(v: Any, dtype: Any) -> Array:
     return arr
 
 
+def _device_get_global(tree: Any) -> Any:
+    """``jax.device_get`` that also works under a MULTI-PROCESS runtime.
+
+    A leaf sharded across processes (e.g. the iterate of a solve whose
+    ``"model"`` mesh axis spans hosts, tests/test_distributed.py TP case) is
+    not fully addressable, and plain ``device_get`` raises on it; such
+    leaves are assembled with an allgather instead.  Single-process (and
+    any fully-addressable leaf) takes the plain ``device_get`` path
+    unchanged — one host transfer, zero extra overhead.
+    """
+    def gettable(leaf: Any) -> bool:
+        # device_get reads fully-replicated multi-process arrays from the
+        # local copy; only genuinely cross-process-SHARDED leaves need the
+        # gather.
+        return (
+            not isinstance(leaf, jax.Array)
+            or leaf.is_fully_addressable
+            or leaf.is_fully_replicated
+        )
+
+    leaves = jax.tree.leaves(tree)
+    if all(gettable(leaf) for leaf in leaves):
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def get(leaf: Any) -> Any:
+        if gettable(leaf):
+            return jax.device_get(leaf)
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+
+    return jax.tree.map(get, tree)
+
+
 def _leaf_sig(leaf: Any) -> tuple:
     # NOTE: getattr's default must not be evaluated eagerly —
     # np.asarray on a globally-sharded (non-addressable) jax.Array raises.
@@ -1106,12 +1139,12 @@ def minimize_proximal_gradient(
     # issue a device round trip per field); when the caller passed host
     # data, reuse their copy instead of fetching the uploaded x0 back.
     if x0_host is not None:
-        host = jax.device_get(state)
+        host = _device_get_global(state)
         # Fresh copy: aliasing the caller's buffer would let a later
         # in-place mutation of their x0 silently rewrite res.x0.
         x0_res = np.array(x0_host, dtype=np.dtype(x0.dtype))
     else:
-        host, x0_res = jax.device_get((state, x0))
+        host, x0_res = _device_get_global((state, x0))
     elapsed = _time.perf_counter() - start
 
     converged = bool(host.converged)

@@ -83,23 +83,34 @@ def global_mesh(batch: int | None = None, model: int = 1):
     return make_mesh(batch=batch, model=model)
 
 
-def distribute_batch(x0s: Any, mesh) -> Any:
-    """Build a GLOBAL ``(B, ...)`` array batch-sharded across the mesh from
+def distribute_global(arr: Any, mesh, spec) -> Any:
+    """Build a GLOBAL array with PartitionSpec ``spec`` over ``mesh`` from
     identical host data on every process.
 
-    Every process passes the same full logical batch (e.g. generated from a
+    Every process passes the same full logical array (e.g. generated from a
     shared seed); each contributes only the shards owned by its local
     devices, so no host ever materializes device memory for remote shards.
-    Single-process this degenerates to a ``device_put``.
+    Single-process this degenerates to a ``device_put``.  Use it to lay a
+    dense operator across hosts (``P(None, "model")``) or an iterate across
+    the feature axis (``P("model")``) — the tensor-parallel placements of
+    :mod:`zfista_tpu.parallel.sharding` — as well as scenario batches.
     """
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding
 
-    x0s = np.asarray(x0s)
-    sharding = NamedSharding(mesh, P("batch"))
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
     return jax.make_array_from_callback(
-        x0s.shape, sharding, lambda idx: x0s[idx]
+        arr.shape, sharding, lambda idx: arr[idx]
     )
+
+
+def distribute_batch(x0s: Any, mesh) -> Any:
+    """:func:`distribute_global` with the scenario-batch placement
+    ``P("batch")`` — lanes sharded across the mesh's batch axis."""
+    from jax.sharding import PartitionSpec as P
+
+    return distribute_global(x0s, mesh, P("batch"))
 
 
 def process_count() -> int:
@@ -184,6 +195,44 @@ def _parity_worker(args: argparse.Namespace) -> None:
     assert all_processes_allclose(res_dist.x, atol=0, rtol=0)
     print(f"PARITY_OK process={args.process_id}/{args.num_processes} "
           f"devices={n_dev} batch={B}", flush=True)
+
+    # --- Tensor-parallel (model-axis) case -------------------------------
+    # The operator's FEATURE axis is sharded across every device of every
+    # process (A laid out P(None, "model"), x P("model")), so the partial
+    # matvecs in f/jac_f psum ACROSS THE PROCESS BOUNDARY — the collective
+    # the n=1M feature-sharded configs[4] story rests on.  Sharded solve
+    # must equal the one-local-device solve exactly in nit and to f64
+    # roundoff in x.
+    from jax.sharding import PartitionSpec as P
+
+    from zfista_tpu.models.lasso import Lasso
+
+    mesh_tp = global_mesh(batch=1, model=n_dev)
+    L = float(2 * np.linalg.norm(A, 2) ** 2)
+    prob_tp = Lasso(
+        distribute_global(A, mesh_tp, P(None, "model")),
+        jnp.asarray(b),
+        l1_ratio=0.05,
+    )
+    res_tp = prob_tp.solve_fixed_step(
+        distribute_global(np.zeros(n, dtype), mesh_tp, P("model")),
+        lr=1.0 / L,
+        max_iter=20000,
+    )
+    with jax.default_device(jax.local_devices()[0]):
+        res_tp_local = Lasso(
+            jnp.asarray(A), jnp.asarray(b), l1_ratio=0.05
+        ).solve_fixed_step(
+            jnp.zeros(n, dtype), lr=1.0 / L, max_iter=20000
+        )
+    assert res_tp.success and res_tp_local.success
+    assert res_tp.nit == res_tp_local.nit, (
+        f"TP nit diverged: {res_tp.nit} vs {res_tp_local.nit}"
+    )
+    np.testing.assert_allclose(res_tp.x, res_tp_local.x, atol=1e-9)
+    assert all_processes_allclose(res_tp.x, atol=0, rtol=0)
+    print(f"TP_PARITY_OK process={args.process_id}/{args.num_processes} "
+          f"model={n_dev}", flush=True)
 
 
 def main(argv=None) -> None:
