@@ -284,7 +284,6 @@ def make_subproblem_solver(
             f_y, jac_f_y, F_old, g, prox_wsum_g, lr, y, deprecated
         )
         dtype = y.dtype
-        eps_active = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
         delta = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
         stat_tol = jnp.asarray(
             max(tol, 100 * (2.2e-16 if dtype == jnp.float64 else 1.2e-7)), dtype
@@ -318,29 +317,52 @@ def make_subproblem_solver(
             H = hess_fn(c.w) + delta * jnp.eye(m, dtype=dtype)
 
             # Two-metric projection (Bertsekas 1982): Newton metric on the
-            # free coordinates, gradient metric (step 1/Ls) on coordinates
-            # pinned at the boundary with outward-pushing gradient, and the
+            # free coordinates, gradient metric on the pinned ones, and the
             # trial point is the SIMPLEX PROJECTION of w + a*d — never a
             # step capped at the boundary, which stalls at a=0 when a
             # coordinate sits on the constraint (active-set cycling).
-            free = ~((c.w <= eps_active) & (grad > 0))
+            #
+            # The active set comes from the projected-gradient point: on the
+            # simplex the multiplier condition at a vertex coordinate is
+            # ``grad_i >= nu`` (nu = the equality constraint's multiplier),
+            # NOT ``grad_i >= 0`` — a sign test against zero misclassifies
+            # every "wants to stay at 0" coordinate whose gradient is
+            # negative but above nu as free, the Newton step pushes it
+            # negative, projection mangles the direction, and Armijo limps
+            # at 2^-40 steps (measured: m=8 random duals converged linearly
+            # at ratio ~0.89 and burned the whole newton_cap 3e-6 short,
+            # tests/test_subproblem_stress.py).  ``project_simplex``
+            # computes nu internally, so ``w_pg > 0`` is the
+            # multiplier-correct free test.
+            w_pg = project_simplex(c.w - grad / Ls)
+            free = w_pg > 0
             fm = free.astype(dtype)
-            # KKT system: [H_ff  1_f; 1_f^T  0] [d; nu] = [-grad_f; 0],
-            # frozen rows replaced by d_i = 0.
+            # Pinned coordinates step exactly to their projected value
+            # (typically 0); the free block solves the KKT system
+            # [H_ff  1_f; 1_f^T  0] [d_f; nu] = [-(grad + H d_a)_f; -sum(d_a)]
+            # (frozen rows replaced by d_i = 0) so the combined step keeps
+            # sum(w + d) = 1 and models the active coordinates' movement.
+            d_active = (1.0 - fm) * (w_pg - c.w)
             K = jnp.zeros((m + 1, m + 1), dtype)
             K = K.at[:m, :m].set(H * jnp.outer(fm, fm) + jnp.diag(1.0 - fm))
             K = K.at[:m, m].set(fm)
             K = K.at[m, :m].set(fm)
-            rhs = jnp.concatenate([-grad * fm, jnp.zeros((1,), dtype)])
-            d_newton = solve_small_linear(K, rhs)[:m]
-            # Active coordinates move along the scaled negative gradient;
-            # the projection arc clips them back if they head outward.
-            d_newton = d_newton - (1.0 - fm) * grad / Ls
+            rhs = jnp.concatenate(
+                [
+                    -(grad + _DOT(H, d_active)) * fm,
+                    -jnp.sum(d_active)[None],
+                ]
+            )
+            d_newton = solve_small_linear(K, rhs)[:m] + d_active
 
+            # Feasible-direction PG fallback: w + a*(w_pg - w) stays on the
+            # simplex for a in [0,1] and the projection theorem gives
+            # <grad, w_pg - w> <= -Ls*||w_pg - w||^2 < 0 — guaranteed
+            # descent whenever not stationary.
+            d_pg = w_pg - c.w
             bad = (~jnp.all(jnp.isfinite(d_newton))) | (
                 _VDOT(grad, d_newton) >= 0
             )
-            d_pg = -grad / Ls
             d_first = jnp.where(bad, d_pg, d_newton)
 
             # Armijo backtracking along the projection arc
@@ -411,8 +433,9 @@ def make_subproblem_solver(
             phi_new = jnp.where(ok, phi_new, phi)
 
             # Scaled gradient mapping: distance moved by one projected-
-            # gradient step at the safe step size.
-            gm = jnp.linalg.norm(c.w - project_simplex(c.w - grad / Ls))
+            # gradient step at the safe step size (w_pg from the active-set
+            # identification above).
+            gm = jnp.linalg.norm(c.w - w_pg)
             stationary = gm <= stat_tol * (1 + jnp.linalg.norm(grad) / Ls)
             # Progress-based floor: the arc accept carries an O(eps) slack,
             # so at the dtype's noise floor it keeps "accepting" null steps
