@@ -371,3 +371,39 @@ def test_tol_internal_rel_deprecated_condition():
             f, g, jac, prox, x0, deprecated=True, tol_internal_rel=1e-6, **kw
         )
     assert ok.success and abs(ok.x[0] - 1.0) < 1e-3
+
+
+def test_auto_check_every_tpu_bitwise(monkeypatch):
+    """check_every=None auto-picks 64 on the TPU backend for scalar
+    fixed-step solves (VERDICT r4 #6: out-of-the-box latency) — and the
+    result must stay bitwise identical to explicit check_every=1,
+    including nit and the full resumable carry."""
+    import zfista_tpu.core.solver as sm
+
+    f, g, jac_f, prox = make_lasso_toy(0.1)
+    x0 = jnp.array([0.3])
+    opts = dict(lr=1.5, decay_rate=1, nesterov=True)
+    base = minimize_proximal_gradient(f, g, jac_f, prox, x0, check_every=1, **opts)
+    monkeypatch.setattr(sm, "_default_backend", lambda: "tpu")
+    auto = minimize_proximal_gradient(f, g, jac_f, prox, x0, **opts)
+    assert auto.nit == base.nit
+    assert auto.success and base.success
+    for name, fa, ba in zip(base.state._fields, auto.state, base.state):
+        np.testing.assert_array_equal(fa, ba, err_msg=f"state field {name}")
+
+
+def test_auto_check_every_stays_1_off_regime(monkeypatch):
+    """The auto-pick must NOT engage outside the guaranteed-bitwise regime:
+    backtracking (decay_rate<1), return_all, and verbose all resolve the
+    None default to per-iteration checking (observable via the driver cache
+    key carrying check_every=1)."""
+    import zfista_tpu.core.solver as sm
+
+    monkeypatch.setattr(sm, "_default_backend", lambda: "tpu")
+    f, g, jac_f, prox = make_lasso_toy(0.1)
+    x0 = jnp.array([0.3])
+    sm._DRIVER_CACHE.clear()
+    res = minimize_proximal_gradient(f, g, jac_f, prox, x0, lr=1.5, nesterov=True)
+    assert res.success
+    keys = [k for k in sm._DRIVER_CACHE if k[0] in ("while_full", "while")]
+    assert keys and all(k[1] == 1 for k in keys), keys

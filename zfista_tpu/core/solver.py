@@ -504,6 +504,13 @@ def make_scan_driver(step: Callable[[State], State], max_iter: int, chunk: int):
 #: while_loop faults the device even at width 1 lane — so EVERY unbounded
 #: m>=3 dispatch gets its kernel depth bounded.  The width bound applies
 #: only to the batch API (parallel/batch.py imports both).
+#:
+#: These constants encode a BACKEND fault, not framework behavior, and the
+#: boundary has moved between runtimes before (B=1024 clean in r3, B=1000
+#: faulting in r4).  ``bench.py`` re-probes the fault every round via the
+#: standalone repro and records the outcome as ``m3_fault_probe`` in
+#: BENCH_r{N}.json; when that probe reports ``faulted: false`` the guards
+#: are candidates for removal.
 _TPU_M3_SAFE_LANES = 1024
 _TPU_M3_SAFE_ITER_CHUNK = 50
 #: Single-solve (width-1) kernel-depth bound.  The depth fault is kernel
@@ -756,7 +763,7 @@ def minimize_proximal_gradient(
     deprecated: bool = False,
     history_chunk: int = 512,
     initial_state: State | None = None,
-    check_every: int = 1,
+    check_every: int | None = None,
     iter_chunk: int | None = None,
     adaptive_restart: bool = False,
     project_momentum: bool = False,
@@ -817,6 +824,16 @@ def minimize_proximal_gradient(
     whose apparent increase is within that noise; with it 0 every
     trajectory is bitwise the reference accept test.
 
+    ``check_every`` (default ``None`` = auto) sets how many solver steps
+    run between convergence checks; every value is BITWISE identical to
+    ``check_every=1`` in trajectory and ``nit`` (the chunked drivers
+    re-select the first stopping step).  ``None`` picks 64 on the TPU
+    backend for scalar fixed-step solves with no history/verbose — the
+    regime where chunking is worth ~25x dispatch-latency amortization —
+    and 1 everywhere else (the reference's per-iteration semantics,
+    reference zfista/proximal_gradient.py:474-529, is preserved either
+    way).  Pass an explicit value to override.
+
     ``iter_chunk`` bounds how many solver iterations one device kernel
     runs; the host re-dispatches until convergence, bitwise identical to
     the monolithic program (frozen states no-op), including ``nit``.  On
@@ -833,11 +850,12 @@ def minimize_proximal_gradient(
             "proof; prefer the default condition.",
             stacklevel=2,
         )
-    check_every = int(check_every)
-    if check_every < 1:
-        # A 0-step chunk would compile to an identity body inside
-        # lax.while_loop — an un-interruptible device-side hang.
-        raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if check_every is not None:
+        check_every = int(check_every)
+        if check_every < 1:
+            # A 0-step chunk would compile to an identity body inside
+            # lax.while_loop — an un-interruptible device-side hang.
+            raise ValueError(f"check_every must be >= 1, got {check_every}")
     start = _time.perf_counter()
 
     x0_host = None if isinstance(x0, jax.Array) else np.asarray(x0)
@@ -854,6 +872,30 @@ def minimize_proximal_gradient(
     _, _, _, _, m, scalar_mode = _normalize_problem(
         f_b, g_b, jac_b, prox_b, x0
     )
+
+    if check_every is None:
+        # Out-of-the-box TPU latency (VERDICT r4 #6): the headline 27.7k
+        # iter/s needs check_every>>1 (convergence checked once per chunk,
+        # chunks software-pipelined by XLA), but the reference-compatible
+        # default is per-iteration checking.  Auto-pick the tuned value on
+        # the exact regime where the chunk-select driver guarantees
+        # BITWISE-identical trajectories and nit (scalar fixed-step, no
+        # history/verbose; pinned by tests/test_solver_scalar.py) and the
+        # backend is TPU (on CPU the chunking gains nothing measurable and
+        # per-iteration checking stops earliest).  Any explicit value is
+        # always respected.
+        check_every = (
+            64
+            if (
+                m == 1
+                and decay_rate == 1
+                and not return_all
+                and not verbose
+                and iter_chunk is None
+                and _default_backend() == "tpu"
+            )
+            else 1
+        )
 
     # Scalar fixed-step solves with no per-iteration consumer of F skip the
     # objective evaluation in the hot loop (one of three matvecs on dense
