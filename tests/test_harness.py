@@ -84,7 +84,7 @@ def test_benchmark_history_plots(tmp_path):
 
     prob = JOS1(n_features=5)
     results = benchmark(prob, -2, 4, n_samples=3, max_iter=2000, history=True)
-    fig = plots.show_pareto_front(results, prob, save_to=tmp_path / "pf.pdf")
+    assert plots.show_pareto_front(results, prob, save_to=tmp_path / "pf.pdf") is not None
     plots.show_error_decay(results, save_to=tmp_path / "ed.pdf")
     assert (tmp_path / "pf.pdf").stat().st_size > 0
     assert (tmp_path / "ed.pdf").stat().st_size > 0
@@ -115,8 +115,11 @@ def test_pareto_plot_layers(tmp_path):
 
     prob = JOS1(n_features=5)
     results = benchmark(prob, -2, 4, n_samples=3, max_iter=2000, history=True)
-    fig = plots.show_pareto_front(
-        results, prob, save_to=tmp_path / "pf.pdf", iteration=3
+    assert (
+        plots.show_pareto_front(
+            results, prob, save_to=tmp_path / "pf.pdf", iteration=3
+        )
+        is not None
     )
     assert (tmp_path / "pf.pdf").stat().st_size > 0
 

@@ -155,3 +155,102 @@ def test_repo_is_finding_free():
     tools, entry scripts) has zero findings."""
     findings = staticcheck.run()
     assert findings == [], "\n".join(findings)
+
+
+def test_detects_shadowed_builtin_assignment(tmp_path):
+    out = _check(tmp_path, "list = [1, 2]\nprint(list)\n")
+    assert any("assignment 'list' shadows a builtin" in m for m in out)
+
+
+def test_detects_shadowed_builtin_parameter(tmp_path):
+    out = _check(
+        tmp_path,
+        """
+        def f(dict, other):
+            return dict, other
+        """,
+    )
+    assert any("parameter 'dict' shadows a builtin" in m for m in out)
+    assert not any("'other'" in m for m in out)
+
+
+def test_shadowed_builtin_curated_not_total(tmp_path):
+    # ``id``-class shadowing is idiomatic and deliberately NOT flagged;
+    # # noqa suppresses the flagged class.
+    out = _check(
+        tmp_path,
+        """
+        def f(id, type):
+            return id, type
+        len = 3  # noqa - seeded suppression
+        print(len)
+        """,
+    )
+    assert out == []
+
+
+def test_detects_unused_local(tmp_path):
+    out = _check(
+        tmp_path,
+        """
+        def f(x):
+            y = x + 1
+            unused = x * 2
+            return y
+        """,
+    )
+    assert any("local variable 'unused' is assigned but never used" in m for m in out)
+    assert not any("'y'" in m for m in out)
+
+
+def test_unused_local_exemptions(tmp_path):
+    # underscore names, tuple unpacking, closure captures, for-targets,
+    # and global declarations are all exempt (ruff F841 conventions).
+    out = _check(
+        tmp_path,
+        """
+        G = 0
+
+        def f(pairs):
+            _scratch = 1
+            a, b = pairs[0]
+            captured = 3
+
+            def inner():
+                return captured
+
+            for item in pairs:
+                pass
+            global G
+            G = 7
+            return inner
+        """,
+    )
+    assert out == []
+
+
+def test_detects_percent_format_arity(tmp_path):
+    out = _check(tmp_path, 'x = 1\nprint("%s and %s" % (x,))\n')
+    assert any("%-format string expects 2 argument(s), tuple has 1" in m for m in out)
+    # %% and matched arity are fine; mapped conversions are not countable.
+    ok = _check(
+        tmp_path,
+        'x = 1\nprint("100%% of %s" % (x,))\nprint("%(k)s" % {"k": x})\n',
+        name="ok.py",
+    )
+    assert ok == []
+
+
+def test_detects_str_format_arity(tmp_path):
+    out = _check(tmp_path, 'print("{} vs {}".format(1))\n')
+    assert any(".format() uses 2 positional placeholder(s) but is given 1" in m for m in out)
+    ok = _check(tmp_path, 'print("{0} vs {0}".format(1))\n', name="ok.py")
+    assert ok == []
+
+
+def test_detects_placeholderless_fstring_not_format_specs(tmp_path):
+    out = _check(tmp_path, 'x = 5\ny = f"no placeholder here"\nprint(x, y)\n')
+    assert any("f-string without any placeholders" in m for m in out)
+    # a format SPEC is itself a JoinedStr in the AST and must not flag
+    ok = _check(tmp_path, 'x = 5\nprint(f"{x:4d} ok")\n', name="ok.py")
+    assert ok == []

@@ -22,6 +22,22 @@ Checks (per file):
                     (``__init__.py`` re-export surfaces honor ``__all__``
                     and are otherwise exempt, matching ruff's F401
                     ``__init__`` convention).
+  shadowed-builtin  a module-level assignment/def or function parameter
+                    that rebinds a builtin whose shadowing is a classic
+                    bug vector (ruff A001/A002 class, curated list — the
+                    full builtin set would flag idiomatic ``input``-less
+                    code noise).
+  unused-local      a function-local simple assignment never read
+                    anywhere in the function (incl. nested scopes) —
+                    ruff F841 class.  ``_``-prefixed names, tuple
+                    unpacking, parameters, and ``global``/``nonlocal``
+                    declarations are exempt (ruff's default F841
+                    conventions).
+  format-arity      literal ``"..%s.." % (tuple)`` with a conversion/
+                    tuple length mismatch (F507 class), literal
+                    ``"{}..".format(args)`` with more positional
+                    placeholders than arguments (F524 class), and
+                    f-strings with no placeholders at all (F541 class).
 
 Suppression: a line containing ``# noqa`` is exempt (same contract as
 ruff/flake8; used sparingly, each with a reason in a trailing comment).
@@ -179,6 +195,238 @@ def _symbol_use_lines(tree: ast.Module) -> dict[str, int]:
     return out
 
 
+#: Builtins whose shadowing is a classic bug vector (A001/A002 class).
+#: Curated: flagging the FULL builtin set would bury real findings under
+#: idiomatic noise (``id``/``type`` locals are ubiquitous and harmless in
+#: small scopes); these are the ones that silently break later stdlib
+#: calls in the same module or hide a typo'd call.
+_SHADOW_BUILTINS = frozenset({
+    "list", "dict", "set", "tuple", "str", "int", "float", "bool", "bytes",
+    "len", "open", "print", "range", "sorted", "reversed", "enumerate",
+    "zip", "isinstance", "issubclass", "getattr", "setattr", "hasattr",
+    "super", "property", "staticmethod", "classmethod", "iter",
+})
+
+
+def _check_shadowed_builtins(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]:
+    findings: list[str] = []
+
+    def flag(name: str, lineno: int, what: str) -> None:
+        if name in _SHADOW_BUILTINS and lineno not in noqa:
+            findings.append(
+                f"{path}:{lineno}: {what} '{name}' shadows a builtin"
+            )
+
+    def visit_block(stmts) -> None:
+        """Module- and class-level statements only: function bodies get
+        parameter checks but their locals are too short-lived to matter."""
+        for s in stmts:
+            if isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                flag(s.name, s.lineno, "function name")
+            elif isinstance(s, ast.ClassDef):
+                flag(s.name, s.lineno, "class name")
+                visit_block(s.body)
+            elif isinstance(s, (ast.Assign, ast.AnnAssign)):
+                targets = s.targets if isinstance(s, ast.Assign) else [s.target]
+                for t in targets:
+                    for node in ast.walk(t):
+                        if isinstance(node, ast.Name):
+                            flag(node.id, s.lineno, "assignment")
+            elif isinstance(s, (ast.Import, ast.ImportFrom)):
+                for a in s.names:
+                    if a.name != "*":
+                        flag(a.asname or a.name.split(".")[0], s.lineno, "import")
+            elif isinstance(s, (ast.If, ast.While)):
+                visit_block(s.body)
+                visit_block(s.orelse)
+            elif isinstance(s, (ast.For, ast.AsyncFor)):
+                visit_block(s.body)
+                visit_block(s.orelse)
+            elif isinstance(s, (ast.With, ast.AsyncWith)):
+                visit_block(s.body)
+            elif isinstance(s, (ast.Try, getattr(ast, "TryStar", ast.Try))):
+                visit_block(s.body)
+                for h in s.handlers:
+                    visit_block(h.body)
+                visit_block(s.orelse)
+                visit_block(s.finalbody)
+
+    visit_block(tree.body)
+
+    # Function PARAMETERS shadowing (A002) anywhere in the file.
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+            a = node.args
+            params = (
+                a.posonlyargs + a.args + a.kwonlyargs
+                + ([a.vararg] if a.vararg else [])
+                + ([a.kwarg] if a.kwarg else [])
+            )
+            for p in params:
+                flag(p.arg, p.lineno, "parameter")
+    return findings
+
+
+def _check_unused_locals(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]:
+    """F841 class: a simple-Name assignment in a function scope whose name
+    is never loaded anywhere inside that function (nested scopes included,
+    so closure captures count as uses)."""
+    findings: list[str] = []
+
+    for fn in ast.walk(tree):
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        declared: set[str] = set()
+        loads: set[str] = set()
+        stores: dict[str, int] = {}
+        inner_fn_names: set[str] = set()
+        for node in ast.walk(fn):
+            if isinstance(node, (ast.Global, ast.Nonlocal)):
+                declared.update(node.names)
+            elif isinstance(node, ast.Name):
+                if isinstance(node.ctx, ast.Load):
+                    loads.add(node.id)
+                elif isinstance(node.ctx, ast.Del):
+                    loads.add(node.id)  # del requires the binding to exist
+            elif (
+                isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and node is not fn
+            ):
+                inner_fn_names.add(node.name)
+        # Only SIMPLE single-Name assignment targets are candidates —
+        # tuple unpacking, subscripts, attributes, for-targets, walrus and
+        # with-targets are all exempt (ruff's F841 conventions).  Nested
+        # functions' own assignments are excluded here (each function gets
+        # its own visit); their LOADS still count as uses above, so a
+        # closure-captured local is never flagged.
+        for node in _function_own_nodes(fn):
+            if isinstance(node, ast.Assign) and len(node.targets) == 1:
+                t = node.targets[0]
+                if isinstance(t, ast.Name):
+                    stores[t.id] = node.lineno
+            elif isinstance(node, ast.AnnAssign) and node.value is not None:
+                if isinstance(node.target, ast.Name):
+                    stores[node.target.id] = node.lineno
+        for name, lineno in sorted(stores.items(), key=lambda kv: kv[1]):
+            if (
+                name.startswith("_")
+                or name in loads
+                or name in declared
+                or name in inner_fn_names
+                or lineno in noqa
+            ):
+                continue
+            findings.append(
+                f"{path}:{lineno}: local variable '{name}' is assigned but never used"
+            )
+    return findings
+
+
+def _function_own_nodes(fn):
+    """Walk a function's body WITHOUT descending into nested function/class
+    scopes (their assignments are their own scope's business)."""
+    stack = list(fn.body)
+    while stack:
+        node = stack.pop()
+        yield node
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda, ast.ClassDef)):
+            continue
+        stack.extend(ast.iter_child_nodes(node))
+
+
+_PERCENT_RE = None  # lazily compiled
+
+
+def _percent_conversion_count(fmt: str) -> int | None:
+    """Number of %-conversions consuming an argument; None if the string
+    uses mapped ``%(name)s`` conversions or ``*`` widths (not countable)."""
+    import re
+
+    global _PERCENT_RE
+    if _PERCENT_RE is None:
+        _PERCENT_RE = re.compile(
+            r"%(?:(?P<map>\([^)]*\))?[-# +0]*(?P<width>\*|\d+)?"
+            r"(?:\.(?P<prec>\*|\d+))?[hlL]?(?P<conv>[diouxXeEfFgGcrsab%]))"
+        )
+    n = 0
+    for mo in _PERCENT_RE.finditer(fmt):
+        if mo.group("conv") == "%":
+            continue
+        if mo.group("map"):
+            return None
+        if mo.group("width") == "*" or mo.group("prec") == "*":
+            return None
+        n += 1
+    return n
+
+
+def _check_format_arity(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]:
+    findings: list[str] = []
+    # A FormattedValue's format_spec (the ``:4d`` part) is ITSELF a
+    # JoinedStr node, usually all-Constant — exclude those from the
+    # no-placeholder f-string check or every format spec false-positives.
+    spec_ids = {
+        id(n.format_spec)
+        for n in ast.walk(tree)
+        if isinstance(n, ast.FormattedValue) and n.format_spec is not None
+    }
+    for node in ast.walk(tree):
+        if getattr(node, "lineno", None) in noqa:
+            continue
+        # "..." % (a, b)  with a literal tuple right-hand side (F507).
+        if (
+            isinstance(node, ast.BinOp)
+            and isinstance(node.op, ast.Mod)
+            and isinstance(node.left, ast.Constant)
+            and isinstance(node.left.value, str)
+            and isinstance(node.right, ast.Tuple)
+            and not any(isinstance(e, ast.Starred) for e in node.right.elts)
+        ):
+            want = _percent_conversion_count(node.left.value)
+            have = len(node.right.elts)
+            if want is not None and want != have:
+                findings.append(
+                    f"{path}:{node.lineno}: %-format string expects {want} "
+                    f"argument(s), tuple has {have}"
+                )
+        # "{} {}".format(a) with countable positional placeholders (F524).
+        elif (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "format"
+            and isinstance(node.func.value, ast.Constant)
+            and isinstance(node.func.value.value, str)
+            and not any(isinstance(a, ast.Starred) for a in node.args)
+        ):
+            import string
+
+            try:
+                fields = list(string.Formatter().parse(node.func.value.value))
+            except ValueError:
+                continue
+            auto = sum(1 for _, f, _, _ in fields if f == "")
+            indexed = [int(f) for _, f, _, _ in fields if f and f.isdigit()]
+            need = auto if auto else (max(indexed) + 1 if indexed else 0)
+            if need > len(node.args):
+                findings.append(
+                    f"{path}:{node.lineno}: .format() uses {need} positional "
+                    f"placeholder(s) but is given {len(node.args)}"
+                )
+        # f"no placeholders" (F541) — almost always a forgotten f or a
+        # plain string that was meant to interpolate.
+        elif (
+            isinstance(node, ast.JoinedStr)
+            and id(node) not in spec_ids
+            and not any(
+                isinstance(v, ast.FormattedValue) for v in node.values
+            )
+        ):
+            findings.append(
+                f"{path}:{node.lineno}: f-string without any placeholders"
+            )
+    return findings
+
+
 def check_file(path: Path) -> list[str]:
     src = path.read_text()
     findings: list[str] = []
@@ -249,6 +497,10 @@ def check_file(path: Path) -> list[str]:
             findings.append(
                 f"{path}:{lineno}: unused import '{name}'{suffix}"
             )
+
+    findings.extend(_check_shadowed_builtins(tree, path, noqa))
+    findings.extend(_check_unused_locals(tree, path, noqa))
+    findings.extend(_check_format_arity(tree, path, noqa))
 
     return findings
 
