@@ -208,10 +208,66 @@ def _probe_m3_fault_boundary(timeout_s: int = 240) -> dict:
     }
     if out["faulted"] is False:
         out["note"] = (
-            "backend no longer faults on the m>=3 width repro — the "
-            "_TPU_M3_SAFE_LANES / iter-chunk auto-guards may be OBSOLETE; "
-            "re-run tools/repro_m3_width_fault.py --mode runtime and "
-            "consider lifting the guards (DESIGN.md known limitations)"
+            "backend did not fault on the m>=3 width repro — either the "
+            "backend improved or the repro no longer captures the live "
+            "fault shape (round 5 observed BOTH on one day: repro clean "
+            "twice, then a real guarded FDS B=2048 batch faulted).  "
+            "The framework_canary field is the authoritative signal."
+        )
+    out["framework_canary"] = _probe_m3_framework_canary()
+    return out
+
+
+def _probe_m3_framework_canary(timeout_s: int = 420) -> dict:
+    """The authoritative per-round m>=3 health check: ONE guarded REAL
+    framework batch (FDS m=3, B at the lane-guard width, short max_iter)
+    in its own subprocess.  Round 5 proved the standalone repro can run
+    clean while this exact program faults (and vice versa is conceivable),
+    so the longitudinal record tracks the program users actually run."""
+    import os
+    import subprocess
+
+    code = (
+        "import sys, time, warnings, numpy as np;"
+        "sys.path.insert(0, '.');"
+        "from zfista_tpu.models.zoo import FDS;"
+        "from zfista_tpu.parallel.batch import minimize_proximal_gradient_batch;"
+        "from zfista_tpu.core.solver import _TPU_M3_SAFE_LANES as W;"
+        "fds = FDS(n_features=10);"
+        "x0 = np.random.default_rng(0).uniform(-2, 2, (W, 10)).astype(np.float32);"
+        "t0 = time.perf_counter();"
+        "w = warnings.catch_warnings(); w.__enter__(); warnings.simplefilter('ignore');"
+        "r = minimize_proximal_gradient_batch("
+        "  fds.f, fds.g, fds.jac_f, fds.prox_wsum_g, x0,"
+        "  nesterov=True, max_iter=200);"
+        "print(f'CANARY_OK lanes={W} conv={int(np.sum(np.asarray(r.success)))}"
+        "/{W} secs={time.perf_counter()-t0:.1f}')"
+    )
+    t0 = time.perf_counter()
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+    except subprocess.TimeoutExpired:
+        return {"ok": None, "note": f"canary timed out after {timeout_s}s"}
+    tail = (p.stdout or "").strip().splitlines()
+    ok = p.returncode == 0 and any("CANARY_OK" in ln for ln in tail)
+    out = {
+        "ok": ok,
+        "seconds": round(time.perf_counter() - t0, 1),
+        "tail": (tail[-1][:200] if tail else
+                 (p.stderr or "").strip().splitlines()[-1][:200]
+                 if (p.stderr or "").strip() else ""),
+    }
+    if not ok:
+        out["note"] = (
+            "the GUARDED m>=3 framework program faults on this runtime — "
+            "the capacity guard is insufficient today (boundary moved "
+            "again); see DESIGN.md known limitations"
         )
     return out
 

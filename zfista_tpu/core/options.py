@@ -43,7 +43,9 @@ class SolverOptions:
     return_all: bool = False
     verbose: bool = False
     deprecated: bool = False
-    check_every: int = 1
+    # None = backend-aware auto (64 on TPU in the bitwise-identical
+    # scalar fixed-step regime, 1 otherwise) — the facade's default.
+    check_every: int | None = None
     adaptive_restart: bool = False
     project_momentum: bool = False
     history_chunk: int = 512

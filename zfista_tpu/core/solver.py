@@ -506,12 +506,18 @@ def make_scan_driver(step: Callable[[State], State], max_iter: int, chunk: int):
 #: only to the batch API (parallel/batch.py imports both).
 #:
 #: These constants encode a BACKEND fault, not framework behavior, and the
-#: boundary has moved between runtimes before (B=1024 clean in r3, B=1000
-#: faulting in r4).  ``bench.py`` re-probes the fault every round via the
-#: standalone repro and records the outcome as ``m3_fault_probe`` in
-#: BENCH_r{N}.json; when that probe reports ``faulted: false`` the guards
-#: are candidates for removal.
-_TPU_M3_SAFE_LANES = 1024
+#: boundary MOVES between runtime sessions: r3 measured B=1024 clean /
+#: B=1536 faulting; r4 ran B=1000 clean under the guard; r5 (2026-08-20)
+#: found a 1024-wide dispatch faulting within its first 10 iter_chunk=50
+#: kernels (reproduced in three independent processes, old and new dual
+#: bodies alike) while B=512 x 60 dispatches ran clean repeatedly — so
+#: the lane bound is now 512, the widest width clean in EVERY measured
+#: session.
+#: ``bench.py`` re-probes the boundary every round (standalone repro +
+#: a real guarded framework batch) and records ``m3_fault_probe`` in
+#: BENCH_r{N}.json; treat a single clean session as weather, not a trend
+#: (r5 observed the repro clean while the real program faulted).
+_TPU_M3_SAFE_LANES = 512
 _TPU_M3_SAFE_ITER_CHUNK = 50
 #: Single-solve (width-1) kernel-depth bound.  The depth fault is kernel
 #: RUNTIME (~50 s faults; measured on ~1000-lane programs at 50 outer
