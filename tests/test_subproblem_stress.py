@@ -172,3 +172,57 @@ def test_dual_stress_vs_oracle_and_gap(m, kind):
         scale = 1.0 + abs(ours)
         gap = primal - ours
         assert -1e-9 * scale <= gap <= 1e-7 * scale, f"{ctx}: gap={gap}"
+
+
+@pytest.mark.parametrize("kind", ["random", "rank2", "edge"])
+def test_dual_stress_vmap_parity(kind):
+    """The batch API runs this same solver under vmap — the vmapped solve
+    of the stress instances must agree with the per-instance solves
+    (lowering differences only, ~1e-12 at f64)."""
+    import jax
+
+    m = 6
+    insts = [_instance(kind, m, 2000 + t) for t in range(3)]
+    # Shared shift/l1 across lanes (same closure), per-lane everything else.
+    l1 = insts[0][5]
+    shift = insts[0][6]
+    l1_j = jnp.asarray(l1)
+    shift_j = jnp.asarray(shift)
+
+    def g_j(x):
+        return l1_j * jnp.sum(jnp.abs(x - shift_j))
+
+    def prox_j(wl1, x):
+        t = jnp.sum(wl1 * l1_j)
+        return shift_j + soft_threshold(x - shift_j, t)
+
+    solve = make_subproblem_solver(
+        g_j, prox_j, m, tol=TOL_INTERNAL, max_iter=10000, deprecated=False
+    )
+    singles = [
+        solve(
+            jnp.asarray(lr),
+            jnp.asarray(F_old),
+            jnp.asarray(y),
+            jnp.asarray(f_y),
+            jnp.asarray(J),
+            jnp.ones(m) / m,
+        )
+        for (y, J, f_y, F_old, lr, _, _) in insts
+    ]
+    ys = jnp.stack([jnp.asarray(i[0]) for i in insts])
+    Js = jnp.stack([jnp.asarray(i[1]) for i in insts])
+    fys = jnp.stack([jnp.asarray(i[2]) for i in insts])
+    Folds = jnp.stack([jnp.asarray(i[3]) for i in insts])
+    lrs = jnp.stack([jnp.asarray(i[4]) for i in insts])
+    w0s = jnp.tile(jnp.ones(m) / m, (3, 1))
+    batched = jax.vmap(solve)(lrs, Folds, ys, fys, Js, w0s)
+    for lane, single in enumerate(singles):
+        np.testing.assert_allclose(
+            np.asarray(batched.fun)[lane], float(single.fun),
+            rtol=1e-12, atol=1e-12, err_msg=f"lane {lane} fun",
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.x)[lane], np.asarray(single.x),
+            atol=1e-10, err_msg=f"lane {lane} x",
+        )
