@@ -553,3 +553,70 @@ def test_batch_tol_rel(toy_lasso):
         minimize_proximal_gradient_batch(
             prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, x0s, tol_rel=-1.0
         )
+
+
+def test_lane_chunked_device_fault_returns_partial(monkeypatch):
+    """A device fault mid-batch (the m>=3 capacity modes are session-
+    dependent backend weather, DESIGN.md) must not throw away the chunks
+    already solved: the batch analog of the reference's partial-result
+    contract (reference zfista/proximal_gradient.py:493-509).  Solved
+    lanes keep their results; the faulted chunk and everything after are
+    marked status=2 with x = x0 and NaN objective, no further dispatches
+    are attempted, and a warning says exactly which lanes failed."""
+    import jax
+    import zfista_tpu.parallel.batch as bm
+
+    prob = JOS1(n_features=5)
+    rng = np.random.default_rng(3)
+    B, K = 12, 4
+    x0s = np.asarray(rng.uniform(-2, 4, size=(B, 5)))
+    kw = dict(nesterov=True, tol=1e-6)
+    ref = minimize_proximal_gradient_batch(
+        prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, jnp.asarray(x0s), **kw
+    )
+
+    orig = bm.minimize_proximal_gradient_batch
+    calls = {"n": 0}
+
+    def flaky(f, g, jac_f, prox, x0_arg, **kwargs):
+        if np.shape(x0_arg)[0] == K:  # an inner chunk call
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise jax.errors.JaxRuntimeError("injected device fault")
+        return orig(f, g, jac_f, prox, x0_arg, **kwargs)
+
+    monkeypatch.setattr(bm, "minimize_proximal_gradient_batch", flaky)
+    with pytest.warns(UserWarning, match=r"device fault at lane chunk \[4:12\]"):
+        res = orig(
+            prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, jnp.asarray(x0s),
+            lane_chunk=K, **kw,
+        )
+    # Chunk 0 solved and identical to the unchunked reference.
+    np.testing.assert_array_equal(res.success[:K], ref.success[:K])
+    np.testing.assert_array_equal(res.nit[:K], ref.nit[:K])
+    np.testing.assert_allclose(res.x[:K], ref.x[:K], atol=1e-12)
+    # Chunks 1-2 (the faulted one and everything after) marked failed.
+    assert not res.success[K:].any()
+    assert (res.status[K:] == 2).all()
+    np.testing.assert_allclose(res.x[K:], x0s[K:], atol=0)
+    assert np.isnan(np.asarray(res.fun[K:], float)).all()
+    assert (res.nit[K:] == 0).all()
+    assert "partial: device fault" in res.message
+    # Only 2 inner dispatches happened (chunk 0 + the faulting chunk 1).
+    assert calls["n"] == 2
+    # No resumable carry after a fault.
+    assert res.state is None
+    # A first-chunk fault has nothing to salvage: it propagates.
+    calls["n"] = 0
+
+    def flaky_first(f, g, jac_f, prox, x0_arg, **kwargs):
+        if np.shape(x0_arg)[0] == K:
+            raise jax.errors.JaxRuntimeError("injected device fault")
+        return orig(f, g, jac_f, prox, x0_arg, **kwargs)
+
+    monkeypatch.setattr(bm, "minimize_proximal_gradient_batch", flaky_first)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        orig(
+            prob.f, prob.g, prob.jac_f, prob.prox_wsum_g, jnp.asarray(x0s),
+            lane_chunk=K, **kw,
+        )

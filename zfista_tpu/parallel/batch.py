@@ -245,32 +245,100 @@ def _lane_chunked_solve(
 
         return jax.tree.map(one, tree)
 
+    def _failed_part(template: "BatchResult", s: int, e: int) -> "BatchResult":
+        """Synthesize a chunk result marking every lane failed (status=2,
+        x = x0, NaN objective) with the SAME field schema as a solved
+        chunk, so the merge below concatenates it lane-for-lane.  This is
+        the batch analog of the reference's partial-result contract
+        (reference zfista/proximal_gradient.py:493-509: any error returns
+        the last good iterate with success=False) for device faults that
+        kill a whole chunk dispatch."""
+        x0_chunk = _cut(x0s, s, e)
+        part = BatchResult()
+        for key, v in template.items():
+            if key == "state":
+                part[key] = None
+            elif key in ("x0", "x", "vec_head"):
+                part[key] = np.array(x0_chunk)
+            elif isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == K:
+                shape = (K,) + (
+                    ((0,) + v.shape[2:])
+                    if key in ("allfuns", "allerrs", "history_mask", "allvecs")
+                    else v.shape[1:]
+                )
+                if key == "success":
+                    part[key] = np.zeros(shape, v.dtype)
+                elif key == "status":
+                    part[key] = np.full(shape, 2, v.dtype)
+                elif key in ("nit", "nit_internal"):
+                    part[key] = np.zeros(shape, v.dtype)
+                elif key == "error_criterion":
+                    part[key] = np.full(shape, np.inf, v.dtype)
+                elif v.dtype == np.bool_:
+                    part[key] = np.zeros(shape, v.dtype)
+                elif np.issubdtype(v.dtype, np.floating):
+                    part[key] = np.full(shape, np.nan, v.dtype)
+                else:
+                    part[key] = np.zeros(shape, v.dtype)
+            else:
+                part[key] = v
+        return part
+
     parts: list[BatchResult] = []
     counts: list[int] = []
+    fault: Exception | None = None
+    fault_lane = B
     for s in range(0, B, K):
         e = min(s + K, B)
-        part = minimize_proximal_gradient_batch(
-            f,
-            g,
-            jac_f,
-            prox_wsum_g,
-            _cut(x0s, s, e),
-            batch_params=(
-                None if batch_params is None else _cut(batch_params, s, e)
-            ),
-            batch_nesterov_ratio=(
-                None
-                if batch_nesterov_ratio is None
-                else _cut(batch_nesterov_ratio, s, e)
-            ),
-            initial_states=(
-                None if initial_states is None else _cut(initial_states, s, e)
-            ),
-            keep_state=keep_state,
-            **solver_kwargs,
-        )
+        if fault is None:
+            try:
+                part = minimize_proximal_gradient_batch(
+                    f,
+                    g,
+                    jac_f,
+                    prox_wsum_g,
+                    _cut(x0s, s, e),
+                    batch_params=(
+                        None if batch_params is None else _cut(batch_params, s, e)
+                    ),
+                    batch_nesterov_ratio=(
+                        None
+                        if batch_nesterov_ratio is None
+                        else _cut(batch_nesterov_ratio, s, e)
+                    ),
+                    initial_states=(
+                        None if initial_states is None else _cut(initial_states, s, e)
+                    ),
+                    keep_state=keep_state,
+                    **solver_kwargs,
+                )
+            except jax.errors.JaxRuntimeError as exc:
+                if s == 0:
+                    # No solved chunk to take the result schema from (and
+                    # nothing to salvage) — propagate.
+                    raise
+                # Device fault mid-batch (the m>=3 capacity modes are
+                # session-dependent, DESIGN.md known limitations).  Keep
+                # every chunk already solved; mark this chunk AND all
+                # remaining lanes failed WITHOUT further dispatches — on
+                # the measured backend a post-fault dispatch in the same
+                # process usually faults again.
+                fault = exc
+                fault_lane = s
+                part = _failed_part(parts[0], s, e)
+        else:
+            part = _failed_part(parts[0], s, e)
         parts.append(part)
         counts.append(e - s)
+
+    if fault is not None:
+        warnings.warn(
+            f"device fault at lane chunk [{fault_lane}:{B}] — returning "
+            f"partial results: lanes 0:{fault_lane} solved, lanes "
+            f"{fault_lane}:{B} marked status=2 (x = x0, fun = NaN). "
+            f"Original error: {type(fault).__name__}: {str(fault)[:200]}",
+            stacklevel=3,
+        )
 
     first = parts[0]
     # Histories: chunks stop at different iteration counts, so pad every
@@ -321,7 +389,12 @@ def _lane_chunked_solve(
         else:
             res[key] = v
     res.time = _time.perf_counter() - start
-    if keep_state and first.get("state") is not None:
+    if fault is not None:
+        res.message = (
+            f"partial: device fault — lanes {fault_lane}:{B} not solved "
+            f"(status=2); {TERMINATION_MESSAGES[2]}"
+        )
+    if keep_state and first.get("state") is not None and fault is None:
         res.state = jax.tree.map(
             lambda *ls: np.concatenate(
                 [np.asarray(a)[:c] for a, c in zip(ls, counts)], axis=0
@@ -329,6 +402,9 @@ def _lane_chunked_solve(
             *[p.state for p in parts],
         )
     else:
+        # No resumable carry after a fault: the failed chunks have no
+        # device state to resume from (and mixing real and synthetic
+        # carries would resume the failed lanes from garbage).
         res.state = None
     return res
 
