@@ -337,6 +337,14 @@ def _probe_backend(attempt_timeouts=(40, 80, 160), backoffs=(10, 10)) -> str | N
 
 
 def main() -> None:
+    # Persistent XLA compile cache for THIS process and every probe
+    # subprocess (env is inherited): tunnel compile latency is the
+    # dominant variance source (60-440 s cold for one program measured in
+    # one session) and probes re-compile identical programs otherwise.
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zfista_tpu_jax_cache")
+
     A_np, b_np, lam = _make_problem()
     L = 2 * _operator_norm_sq_np(A_np)
     lr = 1.0 / L

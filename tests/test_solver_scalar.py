@@ -407,3 +407,44 @@ def test_auto_check_every_stays_1_off_regime(monkeypatch):
     assert res.success
     keys = [k for k in sm._DRIVER_CACHE if k[0] in ("while_full", "while")]
     assert keys and all(k[1] == 1 for k in keys), keys
+
+
+def test_iter_chunk_device_fault_partial_result(monkeypatch):
+    """A device fault mid-solve in the host-chunked driver returns the
+    last completed chunk's state as a partial result (success=False,
+    status=2) instead of raising — the reference's error contract
+    (reference zfista/proximal_gradient.py:493-509) for faults that kill
+    a whole dispatch.  skip_F solves report NaN fun (their carried F was
+    never updated and the device cannot be trusted for a recompute)."""
+    import jax
+
+    f, g, jac_f, prox = make_lasso_toy(0.1)
+    x0 = jnp.array([0.3])
+    orig_block = jax.block_until_ready
+    calls = {"n": 0}
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise jax.errors.JaxRuntimeError("injected device fault")
+        return orig_block(x)
+
+    monkeypatch.setattr(jax, "block_until_ready", flaky)
+    with pytest.warns(UserWarning, match="device fault after 2 iterations"):
+        res = minimize_proximal_gradient(
+            f, g, jac_f, prox, x0, lr=0.4, decay_rate=1, nesterov=True,
+            iter_chunk=2, max_iter=50,
+        )
+    assert not res.success
+    assert res.status == 2
+    assert res.nit == 2
+    assert np.isnan(np.asarray(res.fun, float)).all()  # skip_F regime
+    # Non-skip_F (backtracking) keeps the real carried objective.
+    calls["n"] = 0
+    with pytest.warns(UserWarning, match="device fault after 2 iterations"):
+        res2 = minimize_proximal_gradient(
+            f, g, jac_f, prox, x0, lr=0.4, nesterov=True,
+            iter_chunk=2, max_iter=50,
+        )
+    assert not res2.success and res2.status == 2 and res2.nit == 2
+    assert np.isfinite(np.asarray(res2.fun, float)).all()
