@@ -154,7 +154,7 @@ def _public_api_iters_per_s(A, b, lam, lr, n_iter: int, **extra) -> float:
     return n_iter / best
 
 
-def _probe_m3_fault_boundary(timeout_s: int = 240) -> dict:
+def _probe_m3_fault_boundary(timeout_s: int = 180) -> dict:
     """Re-probe the m>=3 wide-batch TPU fault each round (VERDICT r4 weak
     #6): the capacity auto-guards (`_TPU_M3_SAFE_LANES` / iter-chunk bounds,
     zfista_tpu/core/solver.py, parallel/batch.py) encode a measured backend
@@ -215,7 +215,6 @@ def _probe_m3_fault_boundary(timeout_s: int = 240) -> dict:
             "twice, then a real guarded FDS B=2048 batch faulted).  "
             "The framework_canary field is the authoritative signal."
         )
-    out["framework_canary"] = _probe_m3_framework_canary()
     return out
 
 
@@ -344,15 +343,29 @@ def main() -> None:
     import os
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zfista_tpu_jax_cache")
+    t_start = time.perf_counter()
+
+    def mark(phase: str) -> None:
+        # stderr breadcrumbs (stdout stays one JSON line): when a run is
+        # killed by a harness timeout, the last mark says WHERE the time
+        # went (tunnel compile congestion measured at 60-440 s/program).
+        print(
+            f"[bench {time.perf_counter() - t_start:6.1f}s] {phase}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     A_np, b_np, lam = _make_problem()
     L = 2 * _operator_norm_sq_np(A_np)
     lr = 1.0 / L
+    mark("problem + operator norm ready")
 
     # CPU-side baselines first: they survive into the error JSON if the
     # accelerator tunnel turns out to be down.
     cpu_ips = _reference_style_cpu_iters_per_s(A_np, b_np, lam, lr)
+    mark("cpu numpy baseline done")
     ref_ips = _reference_solver_iters_per_s(A_np, b_np, lam, lr)
+    mark("reference solver baseline done")
 
     partial = {
         "cpu_iters_per_s": round(cpu_ips, 2),
@@ -360,6 +373,7 @@ def main() -> None:
     }
 
     err = _probe_backend()
+    mark("backend probe done")
     if err is not None:
         print(json.dumps({"metric": METRIC, "error": err, **partial}))
         raise SystemExit(1)
@@ -394,24 +408,56 @@ def main() -> None:
     x0 = jnp.zeros((n,), dev_dtype)
     carry0 = (x0, x0, jnp.asarray(1.0, dev_dtype))
     jax.block_until_ready(run(A, b, carry0))  # compile + warm
+    mark("raw loop compiled")
     start = time.perf_counter()
     out = jax.block_until_ready(run(A, b, carry0))
     elapsed = time.perf_counter() - start
     raw_iters_per_s = n_iter / elapsed
     del out
+    mark("raw loop measured")
 
     # The SAME workload through the public solver facade at DEFAULT kwargs
     # (the number users get out of the box; raw-loop vs public gap =
     # framework overhead, target <= ~15%).  The tuned check_every=128
-    # variant is reported alongside: default-vs-tuned must stay within ~5%.
+    # variant is reported alongside when budget remains: default-vs-tuned
+    # should stay within ~5%.
     public_iters_per_s = _public_api_iters_per_s(A_np, b_np, lam, lr, n_iter)
-    tuned_iters_per_s = _public_api_iters_per_s(
-        A_np, b_np, lam, lr, n_iter, check_every=128
-    )
+    mark("public default-kwargs measured")
+
+    # Everything below is optional extras under a soft deadline so a
+    # slow-compile day (60-440 s cold for ONE program, measured) cannot
+    # starve the headline record — the JSON line must always print within
+    # the harness budget.
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "540"))
+
+    def left() -> float:
+        return budget - (time.perf_counter() - t_start)
+
+    tuned_iters_per_s = None
+    if left() > 120:
+        tuned_iters_per_s = _public_api_iters_per_s(
+            A_np, b_np, lam, lr, n_iter, check_every=128
+        )
+        mark("tuned ce=128 measured")
 
     # Last (it deliberately faults the backend in a subprocess): re-check
     # whether the m>=3 capacity-guard fault still exists on this runtime.
-    m3_probe = _probe_m3_fault_boundary()
+    if left() < 60:
+        m3_probe = {"skipped": f"time budget exhausted ({left():.0f}s left)"}
+    else:
+        m3_probe = _probe_m3_fault_boundary(
+            timeout_s=min(180, int(left() * 0.4))
+        )
+        if isinstance(m3_probe, dict) and "skipped" not in m3_probe:
+            if left() > 60:
+                m3_probe["framework_canary"] = _probe_m3_framework_canary(
+                    timeout_s=min(300, int(left()))
+                )
+            else:
+                m3_probe["framework_canary"] = {
+                    "ok": None,
+                    "note": "skipped: time budget exhausted",
+                }
 
     print(
         json.dumps(
@@ -422,9 +468,13 @@ def main() -> None:
                 "vs_baseline": round(public_iters_per_s / cpu_ips, 2),
                 "raw_loop_iters_per_s": round(raw_iters_per_s, 2),
                 "public_over_raw": round(public_iters_per_s / raw_iters_per_s, 3),
-                "tuned_ce128_iters_per_s": round(tuned_iters_per_s, 2),
-                "default_over_tuned": round(
-                    public_iters_per_s / tuned_iters_per_s, 3
+                "tuned_ce128_iters_per_s": (
+                    round(tuned_iters_per_s, 2) if tuned_iters_per_s else None
+                ),
+                "default_over_tuned": (
+                    round(public_iters_per_s / tuned_iters_per_s, 3)
+                    if tuned_iters_per_s
+                    else None
                 ),
                 "m3_fault_probe": m3_probe,
                 **partial,
