@@ -392,7 +392,7 @@ def _lane_chunked_solve(
     if fault is not None:
         res.message = (
             f"partial: device fault — lanes {fault_lane}:{B} not solved "
-            f"(status=2); {TERMINATION_MESSAGES[2]}"
+            f"(status=2, x = x0): {type(fault).__name__}: {str(fault)[:160]}"
         )
     if keep_state and first.get("state") is not None and fault is None:
         res.state = jax.tree.map(
