@@ -158,3 +158,22 @@ def test_measured_times_and_x0_override():
         max_iter=2000,
     )
     assert [r["nit"] for r in rows_m] == [r["nit"] for r in rows]
+
+
+def test_write_ab_csv_three_significant_digits(tmp_path):
+    """Sub-ms times keep >= 3 significant digits at every magnitude —
+    values in [0.5, 1.0)x10^-k previously collapsed to 2 (review
+    finding: rounding 7.3e-5 at 4 decimals is already nonzero)."""
+    rows = [
+        dict(a="0 ", b="0", time=7.3e-5, nit=30.0),
+        dict(a="0 ", b="1/8", time=5.0e-5, nit=31.0),
+        dict(a="0 ", b="1/4", time=0.0123456, nit=32.0),
+        dict(a="1/6 ", b="1/144", time=1.08, nit=33.0),
+    ]
+    out = tmp_path / "t.csv"
+    write_ab_csv(rows, out)
+    lines = out.read_text().splitlines()
+    assert lines[0].split(",")[2] == "0.0000730"
+    assert lines[1].split(",")[2] == "0.0000500"
+    assert lines[2].split(",")[2] == "0.0123"
+    assert lines[3].split(",")[2] == "1.080"

@@ -254,3 +254,20 @@ def test_detects_placeholderless_fstring_not_format_specs(tmp_path):
     # a format SPEC is itself a JoinedStr in the AST and must not flag
     ok = _check(tmp_path, 'x = 5\nprint(f"{x:4d} ok")\n', name="ok.py")
     assert ok == []
+
+
+def test_shadowed_builtin_ignores_load_context_in_targets(tmp_path):
+    # `table[len(xs)] = 1` mentions `len` in Load context inside the
+    # assignment TARGET; only Store bindings may flag (review finding).
+    out = _check(
+        tmp_path,
+        """
+        table = {}
+        xs = [1]
+        table[len(xs)] = 1
+        registry = {}
+        registry[dict] = "handler"
+        print(table, registry)
+        """,
+    )
+    assert out == []

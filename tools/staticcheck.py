@@ -230,7 +230,12 @@ def _check_shadowed_builtins(tree: ast.Module, path: Path, noqa: set[int]) -> li
                 targets = s.targets if isinstance(s, ast.Assign) else [s.target]
                 for t in targets:
                     for node in ast.walk(t):
-                        if isinstance(node, ast.Name):
+                        # Store ctx only: `table[len(xs)] = 1` mentions
+                        # `len` in Load context inside the target and
+                        # must not flag (review finding).
+                        if isinstance(node, ast.Name) and isinstance(
+                            node.ctx, ast.Store
+                        ):
                             flag(node.id, s.lineno, "assignment")
             elif isinstance(s, (ast.Import, ast.ImportFrom)):
                 for a in s.names:

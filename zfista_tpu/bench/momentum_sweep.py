@@ -221,15 +221,18 @@ def write_ab_csv(rows, path: Path) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
 
     def fmt_time(v: float) -> str:
-        for decimals in range(3, 13):
-            s = f"{v:.{decimals}f}"
-            if float(s) != 0.0 or v == 0.0:
-                # enough decimals that the value survives; extend to 3
-                # significant digits for sub-ms values
-                if v == 0.0 or v >= 0.1:
-                    return s
-                return f"{v:.{decimals + 2}f}"
-        return f"{v:.12f}"
+        import math
+
+        if v == 0.0:
+            return "0.000"
+        if v >= 0.1:
+            return f"{v:.3f}"
+        # Decimals from the value's magnitude, NOT from "first nonzero
+        # rounding": rounding 7.3e-5 at 4 decimals already yields the
+        # nonzero '0.0001', which undershot the significant digits for
+        # every value in [0.5, 1.0)x10^-k (review finding).
+        decimals = -math.floor(math.log10(abs(v))) + 2  # 3 sig digits
+        return f"{v:.{max(decimals, 3)}f}"
 
     with open(path, "w") as fh:
         for r in rows:

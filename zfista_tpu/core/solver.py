@@ -863,6 +863,7 @@ def minimize_proximal_gradient(
             # lax.while_loop — an un-interruptible device-side hang.
             raise ValueError(f"check_every must be >= 1, got {check_every}")
     start = _time.perf_counter()
+    device_faulted = False  # set by the host-chunked driver's fault path
 
     x0_host = None if isinstance(x0, jax.Array) else np.asarray(x0)
     x0 = jnp.asarray(x0)
@@ -1156,17 +1157,20 @@ def minimize_proximal_gradient(
                     f"error: {type(exc).__name__}: {str(exc)[:200]}",
                     stacklevel=2,
                 )
-                state = jax.tree.map(jnp.asarray, prev_host)
-                state = state._replace(failed=jnp.asarray(True))
-                chunk_faulted = True
+                # Stay OFF the device from here on: re-uploading or
+                # dispatching on a wedged backend usually faults again
+                # (review finding) — the partial state is numpy, which
+                # the result packing below consumes as-is.
+                state = prev_host._replace(failed=np.asarray(True))
+                chunk_faulted = device_faulted = True
                 break
         if skip_F:
             if chunk_faulted:
-                # Post-fault device dispatches usually fault again; the
-                # carried F_x was never updated under skip_F, so NaN is
-                # the honest objective for the partial result.
+                # The carried F_x was never updated under skip_F, so NaN
+                # is the honest objective for the partial result (numpy —
+                # no post-fault device dispatch).
                 state = state._replace(
-                    F_x=jnp.full_like(state.F_x, jnp.nan)
+                    F_x=np.full_like(np.asarray(state.F_x), np.nan)
                 )
             else:
                 final_run = _cached_driver(
@@ -1254,7 +1258,15 @@ def minimize_proximal_gradient(
     if failed:
         res.success = False
         res.status = 2
-        res.message = TERMINATION_MESSAGES[2]
+        # A device fault is NOT a line-search failure — don't blame
+        # backtracking for it (review finding; the batch API's partial
+        # message got the same fix).
+        res.message = (
+            f"Error: device fault — partial result at iteration "
+            f"{int(host.nit)} (success=False)."
+            if device_faulted
+            else TERMINATION_MESSAGES[2]
+        )
     elif converged:
         res.success = True
         res.status = 1

@@ -178,12 +178,12 @@ class BatchResult(SolveResult):
 def _host_array(a: Any) -> np.ndarray:
     """Device array -> host numpy, gathering across processes when the
     array is globally sharded (multi-process runs own only local shards;
-    ``np.asarray`` alone raises on non-fully-addressable arrays)."""
-    if isinstance(a, jax.Array) and not a.is_fully_addressable:
-        from jax.experimental import multihost_utils
+    ``np.asarray`` alone raises on non-fully-addressable arrays).
+    Delegates to the solver's :func:`_device_get_global` so the
+    addressable/replicated/sharded decision lives in exactly one place."""
+    from zfista_tpu.core.solver import _device_get_global
 
-        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
-    return np.asarray(a)
+    return np.asarray(_device_get_global(a))
 
 
 def _lane_chunked_solve(
@@ -212,8 +212,12 @@ def _lane_chunked_solve(
 
     This is the device-capacity workaround for very wide m>=3 batches:
     the vmapped semismooth-Newton dual program faults this TPU backend
-    above ~1024 lanes (DESIGN.md known limitations; re-confirmed round 3:
-    FDS m=3 runs clean at B=1024, "TPU device error" at B=1536).
+    past a SESSION-DEPENDENT width (DESIGN.md known limitations — r3
+    measured B=1024 clean / B=1536 faulting; r5 measured B=1024 faulting
+    while B=512 ran clean repeatedly, and the guard width is 512).  Do
+    not treat any historical width as current fact; consult
+    ``_TPU_M3_SAFE_LANES`` and the latest BENCH_r{N}.json
+    ``m3_fault_probe`` record.
     """
     B = int(x0s.shape[0])
     K = int(lane_chunk)
