@@ -95,3 +95,28 @@ def test_make_mesh_rejects_silent_undershoot():
         make_mesh(batch=3, model=2)
     mesh = make_mesh(batch=3, model=2, devices=jax.devices()[:6])
     assert mesh.devices.size == 6
+
+
+def test_distribute_global_single_process_placements():
+    """distribute_global degenerates to a device_put single-process: the
+    array lands with the requested sharding and exact contents, for both
+    the TP operator layout P(None, 'model') and the feature layout
+    P('model')."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zfista_tpu.parallel.distributed import distribute_batch, distribute_global
+
+    mesh = make_mesh(batch=1, model=8)
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((6, 16))
+    x = rng.standard_normal(16)
+    A_g = distribute_global(A, mesh, P(None, "model"))
+    x_g = distribute_global(x, mesh, P("model"))
+    assert A_g.sharding == NamedSharding(mesh, P(None, "model"))
+    assert x_g.sharding == NamedSharding(mesh, P("model"))
+    np.testing.assert_array_equal(np.asarray(A_g), A)
+    np.testing.assert_array_equal(np.asarray(x_g), x)
+    # The batch helper is the P("batch") specialization of the same path.
+    mesh2 = make_mesh(batch=8, model=1)
+    b_g = distribute_batch(np.tile(x, (8, 1)), mesh2)
+    assert b_g.sharding == NamedSharding(mesh2, P("batch"))
