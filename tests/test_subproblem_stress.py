@@ -226,3 +226,39 @@ def test_dual_stress_vmap_parity(kind):
             np.asarray(batched.x)[lane], np.asarray(single.x),
             atol=1e-10, err_msg=f"lane {lane} x",
         )
+
+
+@pytest.mark.parametrize("kind", ["random", "rank2", "edge"])
+def test_dual_stress_m12_smoke(kind):
+    """One instance per kind at m=12: the unrolled Gauss-Jordan KKT solve
+    (13x13 here) and the active-set machinery must keep their
+    certificates at larger objective counts than the zoo ever uses
+    (single trial per kind — compile cost grows with m)."""
+    m = 12
+    y, J, f_y, F_old, lr, l1, shift = _instance(kind, m, 12000)
+    l1_j = jnp.asarray(l1)
+    shift_j = jnp.asarray(shift)
+
+    def g_j(x):
+        return l1_j * jnp.sum(jnp.abs(x - shift_j))
+
+    def prox_j(wl1, x):
+        return shift_j + soft_threshold(x - shift_j, jnp.sum(wl1 * l1_j))
+
+    solve = make_subproblem_solver(
+        g_j, prox_j, m, tol=TOL_INTERNAL, max_iter=10000, deprecated=False
+    )
+    res = solve(
+        jnp.asarray(lr),
+        jnp.asarray(F_old),
+        jnp.asarray(y),
+        jnp.asarray(f_y),
+        jnp.asarray(J),
+        jnp.ones(m) / m,
+    )
+    ours = float(res.fun)
+    ref = _scipy_oracle(y, J, f_y, F_old, lr, l1, shift, m)
+    assert ours >= ref - 1e-9, f"m=12 {kind}: {ours} < scipy {ref}"
+    gap = _primal_value(np.asarray(res.x), y, J, f_y, F_old, lr, l1, shift) - ours
+    scale = 1.0 + abs(ours)
+    assert -1e-9 * scale <= gap <= 1e-7 * scale, f"m=12 {kind}: gap={gap}"

@@ -264,6 +264,14 @@ def _lane_chunked_solve(
                 part[key] = None
             elif key in ("x0", "x", "vec_head"):
                 part[key] = np.array(x0_chunk)
+            elif (
+                key == "nesterov_ratio"
+                and batch_nesterov_ratio is not None
+                and isinstance(v, np.ndarray)
+            ):
+                # The failed lanes' momentum pairs are INPUTS, not solver
+                # outputs — report the real values, not NaN fill.
+                part[key] = np.array(_cut(batch_nesterov_ratio, s, e))
             elif isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == K:
                 shape = (K,) + (
                     ((0,) + v.shape[2:])
