@@ -271,3 +271,65 @@ def test_shadowed_builtin_ignores_load_context_in_targets(tmp_path):
         """,
     )
     assert out == []
+
+
+def test_detects_call_arity_too_many(tmp_path):
+    out = _check(
+        tmp_path,
+        """
+        def f(a, b=1):
+            return a + b
+        f(1, 2, 3)
+        """,
+    )
+    assert any("passes 3 positional argument(s), it accepts at most 2" in m for m in out)
+
+
+def test_detects_call_arity_missing_and_unknown_kw(tmp_path):
+    out = _check(
+        tmp_path,
+        """
+        def f(a, b, c=1):
+            return a + b + c
+        f(1)
+        f(1, 2, d=3)
+        """,
+    )
+    assert any("missing required argument(s)" in m for m in out)
+    assert any("unknown keyword(s) ['d']" in m for m in out)
+
+
+def test_call_arity_exemptions(tmp_path):
+    # decorators, *args defs, starred calls, rebound names, and
+    # keyword-filled positionals are all exempt or satisfied.
+    out = _check(
+        tmp_path,
+        """
+        import functools
+
+        def ok(a, b=2, *, c=3):
+            return a + b + c
+
+        @functools.lru_cache
+        def deco(a):
+            return a
+
+        def var(*args):
+            return args
+
+        ok(1)
+        ok(1, 2, c=4)
+        ok(1, b=5)
+        deco(1, 2)          # decorated: unknown wrapper signature
+        var(1, 2, 3, 4)
+        args = (1, 2)
+        ok(*args)
+        rebound = ok
+        def maybe(a):
+            return a
+        maybe = var         # rebound -> dropped from the table
+        maybe(1, 2, 3)
+        print(rebound)
+        """,
+    )
+    assert out == []

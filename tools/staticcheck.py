@@ -38,6 +38,13 @@ Checks (per file):
                     ``"{}..".format(args)`` with more positional
                     placeholders than arguments (F524 class), and
                     f-strings with no placeholders at all (F541 class).
+  call-arity        a bare-name call of a same-module plain function
+                    with too many positional arguments, too few
+                    required arguments, or an unknown keyword — the
+                    refactor-drift class mypy catches.  Conservative:
+                    decorated functions, methods, *args/**kwargs defs,
+                    starred/double-starred call sites, and rebound
+                    names are all exempt.
 
 Suppression: a line containing ``# noqa`` is exempt (same contract as
 ruff/flake8; used sparingly, each with a reason in a trailing comment).
@@ -432,6 +439,94 @@ def _check_format_arity(tree: ast.Module, path: Path, noqa: set[int]) -> list[st
     return findings
 
 
+def _check_call_arity(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]:
+    """mypy-class call-arity drift for SAME-MODULE plain functions.
+
+    Only module-level ``def`` without decorators and without
+    ``*args``/``**kwargs`` participate; a name bound more than once
+    (reassignment, import collision, conditional def) is dropped.  Call
+    sites using ``*seq``/``**map`` are skipped.  Within those bounds the
+    check is exact: positional count must fit [required, total] and
+    every keyword must name a parameter (or be covered by defaults)."""
+    sigs: dict[str, tuple[int, int, set[str], set[str]]] = {}
+    bound_counts: dict[str, int] = {}
+    for s in tree.body:
+        names: list[str] = []
+        if isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names = [s.name]
+        elif isinstance(s, (ast.Import, ast.ImportFrom)):
+            names = [
+                a.asname or a.name.split(".")[0]
+                for a in s.names
+                if a.name != "*"
+            ]
+        elif isinstance(s, (ast.Assign, ast.AnnAssign)):
+            targets = s.targets if isinstance(s, ast.Assign) else [s.target]
+            for t in targets:
+                for node in ast.walk(t):
+                    if isinstance(node, ast.Name) and isinstance(
+                        node.ctx, ast.Store
+                    ):
+                        names.append(node.id)
+        for n in names:
+            bound_counts[n] = bound_counts.get(n, 0) + 1
+    for s in tree.body:
+        if not isinstance(s, ast.FunctionDef):
+            continue
+        if s.decorator_list or bound_counts.get(s.name, 0) != 1:
+            continue
+        a = s.args
+        if a.vararg or a.kwarg:
+            continue
+        pos = a.posonlyargs + a.args
+        n_pos = len(pos)
+        n_required = n_pos - len(a.defaults)
+        kw_ok = {p.arg for p in pos} | {p.arg for p in a.kwonlyargs}
+        kw_defaults = {
+            p.arg
+            for p, d in zip(a.kwonlyargs, a.kw_defaults)
+            if d is not None
+        }
+        required_kwonly = {p.arg for p in a.kwonlyargs} - kw_defaults
+        sigs[s.name] = (n_required, n_pos, kw_ok, required_kwonly)
+
+    findings: list[str] = []
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id in sigs
+        ):
+            continue
+        if node.lineno in noqa:
+            continue
+        if any(isinstance(arg, ast.Starred) for arg in node.args) or any(
+            kw.arg is None for kw in node.keywords
+        ):
+            continue
+        n_required, n_pos, kw_ok, required_kwonly = sigs[node.func.id]
+        given_kw = {kw.arg for kw in node.keywords}
+        bad_kw = given_kw - kw_ok
+        n_given = len(node.args)
+        covered = n_given + len(given_kw & kw_ok)
+        if n_given > n_pos:
+            findings.append(
+                f"{path}:{node.lineno}: call to '{node.func.id}' passes "
+                f"{n_given} positional argument(s), it accepts at most {n_pos}"
+            )
+        elif bad_kw:
+            findings.append(
+                f"{path}:{node.lineno}: call to '{node.func.id}' passes "
+                f"unknown keyword(s) {sorted(bad_kw)}"
+            )
+        elif covered < n_required or (required_kwonly - given_kw):
+            findings.append(
+                f"{path}:{node.lineno}: call to '{node.func.id}' is missing "
+                f"required argument(s)"
+            )
+    return findings
+
+
 def check_file(path: Path) -> list[str]:
     src = path.read_text()
     findings: list[str] = []
@@ -506,6 +601,7 @@ def check_file(path: Path) -> list[str]:
     findings.extend(_check_shadowed_builtins(tree, path, noqa))
     findings.extend(_check_unused_locals(tree, path, noqa))
     findings.extend(_check_format_arity(tree, path, noqa))
+    findings.extend(_check_call_arity(tree, path, noqa))
 
     return findings
 
