@@ -116,7 +116,11 @@ def test_distribute_global_single_process_placements():
     assert x_g.sharding == NamedSharding(mesh, P("model"))
     np.testing.assert_array_equal(np.asarray(A_g), A)
     np.testing.assert_array_equal(np.asarray(x_g), x)
-    # The batch helper is the P("batch") specialization of the same path.
+    # The batch helper is the P("batch") specialization of the same path —
+    # contents asserted too (a per-shard slicing bug could permute lanes
+    # while keeping the right sharding).
     mesh2 = make_mesh(batch=8, model=1)
-    b_g = distribute_batch(np.tile(x, (8, 1)), mesh2)
+    lanes = rng.standard_normal((8, 16))
+    b_g = distribute_batch(lanes, mesh2)
     assert b_g.sharding == NamedSharding(mesh2, P("batch"))
+    np.testing.assert_array_equal(np.asarray(b_g), lanes)

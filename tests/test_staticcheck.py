@@ -333,3 +333,66 @@ def test_call_arity_exemptions(tmp_path):
         """,
     )
     assert out == []
+
+
+def test_call_arity_scope_aware(tmp_path):
+    # A parameter or local binding shadowing a module-level function must
+    # suppress the check in that scope (review finding).
+    out = _check(
+        tmp_path,
+        """
+        def handler(a, b):
+            return a + b
+
+        def g(handler):
+            return handler(1)
+
+        def h():
+            def handler(a):
+                return a
+            return handler(1)
+
+        print(handler(1, 2), g(len), h())
+        """,
+    )
+    assert out == []
+
+
+def test_call_arity_conditional_rebind_exempt(tmp_path):
+    # `try: from fast_impl import f` fallback rebinds f inside a block —
+    # the rebinding scan must descend into blocks (review finding).
+    out = _check(
+        tmp_path,
+        """
+        def f(a, b):
+            return a + b
+
+        try:
+            from fast_impl import f  # noqa - optional accelerator
+        except ImportError:
+            pass
+        print(f(1))
+        """,
+    )
+    assert not any("call to 'f'" in m for m in out)
+
+
+def test_call_arity_exact_binding_rules(tmp_path):
+    # Keyword-only args do not fill positional slots, and a keyword
+    # naming an already-filled positional is a 'multiple values' error
+    # (review finding: both previously passed clean).
+    out = _check(
+        tmp_path,
+        """
+        def f(a, b, *, c=1):
+            return a + b + c
+
+        def g(a, b):
+            return a + b
+
+        f(1, c=2)
+        g(1, 2, a=3)
+        """,
+    )
+    assert any("call to 'f' is missing required argument(s) ['b']" in m for m in out)
+    assert any("call to 'g' passes ['a'] both positionally and by keyword" in m for m in out)

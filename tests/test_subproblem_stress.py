@@ -126,52 +126,58 @@ def _primal_value(x, y, J, f_y, F_old, lr, l1, shift):
 KINDS = ["random", "rank1", "rank2", "vertex", "edge", "kink"]
 
 
+def _solve_and_certify(m: int, kind: str, seed: int, ctx: str) -> None:
+    """Build one instance, solve it, and assert BOTH certificates
+    (shared by the m in {5,6,8} sweep and the m=12 smoke — one copy of
+    the closure construction and the tolerance contract)."""
+    y, J, f_y, F_old, lr, l1, shift = _instance(kind, m, seed)
+    l1_j = jnp.asarray(l1)
+    shift_j = jnp.asarray(shift)
+
+    def g_j(x):
+        return l1_j * jnp.sum(jnp.abs(x - shift_j))
+
+    def prox_j(wl1, x):
+        t = jnp.sum(wl1 * l1_j)
+        return shift_j + soft_threshold(x - shift_j, t)
+
+    solve = make_subproblem_solver(
+        g_j, prox_j, m, tol=TOL_INTERNAL, max_iter=10000, deprecated=False
+    )
+    res = solve(
+        jnp.asarray(lr),
+        jnp.asarray(F_old),
+        jnp.asarray(y),
+        jnp.asarray(f_y),
+        jnp.asarray(J),
+        jnp.ones(m) / m,
+    )
+    ours = float(res.fun)
+    w = np.asarray(res.weight)
+
+    # Dual feasibility.
+    assert np.all(w >= -1e-12), ctx
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-9, err_msg=ctx)
+
+    # Certificate 1: never worse than the reference's own engine.
+    ref = _scipy_oracle(y, J, f_y, F_old, lr, l1, shift, m)
+    assert ours >= ref - 1e-9, f"{ctx}: {ours} < scipy {ref}"
+
+    # Certificate 2: ~zero primal-dual gap at our (x, w) — a premature
+    # stall/newton_cap exit leaves a macroscopic gap here even when
+    # scipy happens to be worse.
+    primal = _primal_value(np.asarray(res.x), y, J, f_y, F_old, lr, l1, shift)
+    scale = 1.0 + abs(ours)
+    gap = primal - ours
+    assert -1e-9 * scale <= gap <= 1e-7 * scale, f"{ctx}: gap={gap}"
+
+
+
 @pytest.mark.parametrize("m", [5, 6, 8])
 @pytest.mark.parametrize("kind", KINDS)
 def test_dual_stress_vs_oracle_and_gap(m, kind):
     for trial in range(3):
-        y, J, f_y, F_old, lr, l1, shift = _instance(kind, m, 1000 * m + trial)
-
-        l1_j = jnp.asarray(l1)
-        shift_j = jnp.asarray(shift)
-
-        def g_j(x):
-            return l1_j * jnp.sum(jnp.abs(x - shift_j))
-
-        def prox_j(wl1, x):
-            t = jnp.sum(wl1 * l1_j)
-            return shift_j + soft_threshold(x - shift_j, t)
-
-        solve = make_subproblem_solver(
-            g_j, prox_j, m, tol=TOL_INTERNAL, max_iter=10000, deprecated=False
-        )
-        res = solve(
-            jnp.asarray(lr),
-            jnp.asarray(F_old),
-            jnp.asarray(y),
-            jnp.asarray(f_y),
-            jnp.asarray(J),
-            jnp.ones(m) / m,
-        )
-        ours = float(res.fun)
-        w = np.asarray(res.weight)
-        ctx = f"m={m} kind={kind} trial={trial}"
-
-        # Dual feasibility.
-        assert np.all(w >= -1e-12), ctx
-        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-9, err_msg=ctx)
-
-        # Certificate 1: never worse than the reference's own engine.
-        ref = _scipy_oracle(y, J, f_y, F_old, lr, l1, shift, m)
-        assert ours >= ref - 1e-9, f"{ctx}: {ours} < scipy {ref}"
-
-        # Certificate 2: ~zero primal-dual gap at our (x, w) — a premature
-        # stall/newton_cap exit leaves a macroscopic gap here even when
-        # scipy happens to be worse.
-        primal = _primal_value(np.asarray(res.x), y, J, f_y, F_old, lr, l1, shift)
-        scale = 1.0 + abs(ours)
-        gap = primal - ours
-        assert -1e-9 * scale <= gap <= 1e-7 * scale, f"{ctx}: gap={gap}"
+        _solve_and_certify(m, kind, 1000 * m + trial, f"m={m} kind={kind} trial={trial}")
 
 
 @pytest.mark.parametrize("kind", ["random", "rank2", "edge"])
@@ -234,31 +240,4 @@ def test_dual_stress_m12_smoke(kind):
     (13x13 here) and the active-set machinery must keep their
     certificates at larger objective counts than the zoo ever uses
     (single trial per kind — compile cost grows with m)."""
-    m = 12
-    y, J, f_y, F_old, lr, l1, shift = _instance(kind, m, 12000)
-    l1_j = jnp.asarray(l1)
-    shift_j = jnp.asarray(shift)
-
-    def g_j(x):
-        return l1_j * jnp.sum(jnp.abs(x - shift_j))
-
-    def prox_j(wl1, x):
-        return shift_j + soft_threshold(x - shift_j, jnp.sum(wl1 * l1_j))
-
-    solve = make_subproblem_solver(
-        g_j, prox_j, m, tol=TOL_INTERNAL, max_iter=10000, deprecated=False
-    )
-    res = solve(
-        jnp.asarray(lr),
-        jnp.asarray(F_old),
-        jnp.asarray(y),
-        jnp.asarray(f_y),
-        jnp.asarray(J),
-        jnp.ones(m) / m,
-    )
-    ours = float(res.fun)
-    ref = _scipy_oracle(y, J, f_y, F_old, lr, l1, shift, m)
-    assert ours >= ref - 1e-9, f"m=12 {kind}: {ours} < scipy {ref}"
-    gap = _primal_value(np.asarray(res.x), y, J, f_y, F_old, lr, l1, shift) - ours
-    scale = 1.0 + abs(ours)
-    assert -1e-9 * scale <= gap <= 1e-7 * scale, f"m=12 {kind}: gap={gap}"
+    _solve_and_certify(12, kind, 12000, f"m=12 kind={kind}")

@@ -92,28 +92,31 @@ def _noqa_lines(src: str) -> set[int]:
     }
 
 
-def _module_bindings(tree: ast.Module) -> set[str]:
+def _module_binding_list(tree: ast.Module) -> list[str]:
     """Every name BOUND at module level (assign/import/def/class/for/with/
-    except/global-decl targets), found by walking the module body without
-    descending into function bodies (their bindings are not module
-    globals) but descending into if/try/loop/with blocks (theirs are)."""
-    bound: set[str] = set()
+    except/global-decl targets), AS A LIST (one entry per binding site, so
+    callers can count rebindings — e.g. a ``def`` plus a ``try: from
+    fast_impl import f`` fallback is two bindings of ``f``), found by
+    walking the module body without descending into function bodies
+    (their bindings are not module globals) but descending into
+    if/try/loop/with blocks (theirs are)."""
+    bound: list[str] = []
 
     def bind_target(t: ast.AST) -> None:
         for node in ast.walk(t):
             if isinstance(node, ast.Name):
-                bound.add(node.id)
+                bound.append(node.id)
 
     def visit_block(stmts) -> None:
         for s in stmts:
             if isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-                bound.add(s.name)
+                bound.append(s.name)
                 # decorators/bases run at module level but bind nothing
             elif isinstance(s, (ast.Import, ast.ImportFrom)):
                 for a in s.names:
                     if a.name == "*":
                         continue
-                    bound.add(a.asname or a.name.split(".")[0])
+                    bound.append(a.asname or a.name.split(".")[0])
             elif isinstance(s, (ast.Assign, ast.AugAssign, ast.AnnAssign)):
                 targets = s.targets if isinstance(s, ast.Assign) else [s.target]
                 for t in targets:
@@ -134,7 +137,7 @@ def _module_bindings(tree: ast.Module) -> set[str]:
                 visit_block(s.body)
                 for h in s.handlers:
                     if h.name:
-                        bound.add(h.name)
+                        bound.append(h.name)
                     visit_block(h.body)
                 visit_block(s.orelse)
                 visit_block(s.finalbody)
@@ -145,13 +148,13 @@ def _module_bindings(tree: ast.Module) -> set[str]:
                     for node in ast.walk(case.pattern):
                         name = getattr(node, "name", None)
                         if isinstance(name, str):
-                            bound.add(name)
+                            bound.append(name)
                         rest = getattr(node, "rest", None)
                         if isinstance(rest, str):
-                            bound.add(rest)
+                            bound.append(rest)
                     visit_block(case.body)
             elif isinstance(s, (ast.Global, ast.Nonlocal)):
-                bound.update(s.names)
+                bound.extend(s.names)
             elif isinstance(s, ast.Delete):
                 pass  # del unbinds; treating as bound is the safe side
             elif isinstance(s, ast.Expr):
@@ -164,6 +167,11 @@ def _module_bindings(tree: ast.Module) -> set[str]:
     # walruses anywhere at module level (comprehension walrus leaks to
     # the enclosing scope per PEP 572)
     return bound
+
+
+def _module_bindings(tree: ast.Module) -> set[str]:
+    """Set view of :func:`_module_binding_list`."""
+    return set(_module_binding_list(tree))
 
 
 def _dunder_all(tree: ast.Module) -> set[str]:
@@ -444,32 +452,22 @@ def _check_call_arity(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]
 
     Only module-level ``def`` without decorators and without
     ``*args``/``**kwargs`` participate; a name bound more than once
-    (reassignment, import collision, conditional def) is dropped.  Call
-    sites using ``*seq``/``**map`` are skipped.  Within those bounds the
-    check is exact: positional count must fit [required, total] and
-    every keyword must name a parameter (or be covered by defaults)."""
-    sigs: dict[str, tuple[int, int, set[str], set[str]]] = {}
-    bound_counts: dict[str, int] = {}
-    for s in tree.body:
-        names: list[str] = []
-        if isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            names = [s.name]
-        elif isinstance(s, (ast.Import, ast.ImportFrom)):
-            names = [
-                a.asname or a.name.split(".")[0]
-                for a in s.names
-                if a.name != "*"
-            ]
-        elif isinstance(s, (ast.Assign, ast.AnnAssign)):
-            targets = s.targets if isinstance(s, ast.Assign) else [s.target]
-            for t in targets:
-                for node in ast.walk(t):
-                    if isinstance(node, ast.Name) and isinstance(
-                        node.ctx, ast.Store
-                    ):
-                        names.append(node.id)
-        for n in names:
-            bound_counts[n] = bound_counts.get(n, 0) + 1
+    ANYWHERE at module level — reassignment, a ``try: from fast_impl
+    import f`` fallback, conditional def — is dropped (review finding:
+    the first version only scanned top-level statements).  Call sites
+    using ``*seq``/``**map`` are skipped, and calls are resolved with
+    SCOPE AWARENESS: a bare name shadowed by a parameter, local binding,
+    or nested def in any enclosing function scope is not the module
+    function (review finding).  Within those bounds the coverage check
+    follows CPython's binding rules: positionals fill left-to-right,
+    keywords may fill remaining non-positional-only params, a keyword
+    naming an already-filled param is a 'multiple values' error, and
+    required keyword-only params must be named."""
+    from collections import Counter
+
+    bound_counts = Counter(_module_binding_list(tree))
+
+    sigs: dict[str, tuple] = {}
     for s in tree.body:
         if not isinstance(s, ast.FunctionDef):
             continue
@@ -478,52 +476,110 @@ def _check_call_arity(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]
         a = s.args
         if a.vararg or a.kwarg:
             continue
-        pos = a.posonlyargs + a.args
-        n_pos = len(pos)
+        pos_names = [p.arg for p in a.posonlyargs + a.args]
+        n_posonly = len(a.posonlyargs)
+        n_pos = len(pos_names)
         n_required = n_pos - len(a.defaults)
-        kw_ok = {p.arg for p in pos} | {p.arg for p in a.kwonlyargs}
-        kw_defaults = {
+        kw_fillable = set(pos_names[n_posonly:]) | {p.arg for p in a.kwonlyargs}
+        required_kwonly = {
             p.arg
             for p, d in zip(a.kwonlyargs, a.kw_defaults)
-            if d is not None
+            if d is None
         }
-        required_kwonly = {p.arg for p in a.kwonlyargs} - kw_defaults
-        sigs[s.name] = (n_required, n_pos, kw_ok, required_kwonly)
+        sigs[s.name] = (pos_names, n_pos, n_required, kw_fillable, required_kwonly)
 
     findings: list[str] = []
-    for node in ast.walk(tree):
-        if not (
-            isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Name)
-            and node.func.id in sigs
-        ):
-            continue
+
+    def local_bound(fn) -> set[str]:
+        """Names bound in ``fn``'s own scope (params + Store targets +
+        nested def/class names + imports + handler/with/for targets),
+        NOT descending into nested function scopes."""
+        a = fn.args if not isinstance(fn, ast.ClassDef) else None
+        names: set[str] = set()
+        if a is not None:
+            for p in a.posonlyargs + a.args + a.kwonlyargs:
+                names.add(p.arg)
+            if a.vararg:
+                names.add(a.vararg.arg)
+            if a.kwarg:
+                names.add(a.kwarg.arg)
+        body = fn.body if not isinstance(fn, ast.Lambda) else [fn.body]
+        stack = list(body)
+        while stack:
+            node = stack.pop()
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                names.add(node.name)
+                continue  # nested scope: only its NAME binds here
+            if isinstance(node, ast.Lambda):
+                continue
+            if isinstance(node, ast.Name) and isinstance(
+                node.ctx, (ast.Store, ast.Del)
+            ):
+                names.add(node.id)
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                for al in node.names:
+                    if al.name != "*":
+                        names.add(al.asname or al.name.split(".")[0])
+            elif isinstance(node, ast.ExceptHandler) and node.name:
+                names.add(node.name)
+            stack.extend(ast.iter_child_nodes(node))
+        return names
+
+    def check_call(node: ast.Call) -> None:
+        name = node.func.id
+        pos_names, n_pos, n_required, kw_fillable, required_kwonly = sigs[name]
         if node.lineno in noqa:
-            continue
+            return
         if any(isinstance(arg, ast.Starred) for arg in node.args) or any(
             kw.arg is None for kw in node.keywords
         ):
-            continue
-        n_required, n_pos, kw_ok, required_kwonly = sigs[node.func.id]
+            return
         given_kw = {kw.arg for kw in node.keywords}
-        bad_kw = given_kw - kw_ok
         n_given = len(node.args)
-        covered = n_given + len(given_kw & kw_ok)
         if n_given > n_pos:
             findings.append(
-                f"{path}:{node.lineno}: call to '{node.func.id}' passes "
+                f"{path}:{node.lineno}: call to '{name}' passes "
                 f"{n_given} positional argument(s), it accepts at most {n_pos}"
+            )
+            return
+        filled_pos = set(pos_names[:n_given])
+        dup = given_kw & filled_pos
+        bad_kw = given_kw - kw_fillable
+        missing = [
+            nm
+            for nm in pos_names[n_given:n_required]
+            if nm not in given_kw
+        ] + sorted(required_kwonly - given_kw)
+        if dup:
+            findings.append(
+                f"{path}:{node.lineno}: call to '{name}' passes "
+                f"{sorted(dup)} both positionally and by keyword"
             )
         elif bad_kw:
             findings.append(
-                f"{path}:{node.lineno}: call to '{node.func.id}' passes "
+                f"{path}:{node.lineno}: call to '{name}' passes "
                 f"unknown keyword(s) {sorted(bad_kw)}"
             )
-        elif covered < n_required or (required_kwonly - given_kw):
+        elif missing:
             findings.append(
-                f"{path}:{node.lineno}: call to '{node.func.id}' is missing "
-                f"required argument(s)"
+                f"{path}:{node.lineno}: call to '{name}' is missing "
+                f"required argument(s) {missing}"
             )
+
+    def walk_scope(node: ast.AST, shadowed: frozenset) -> None:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+            shadowed = shadowed | local_bound(node)
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id in sigs
+            and node.func.id not in shadowed
+        ):
+            check_call(node)
+        for child in ast.iter_child_nodes(node):
+            walk_scope(child, shadowed)
+
+    walk_scope(tree, frozenset())
     return findings
 
 
