@@ -396,3 +396,49 @@ def test_call_arity_exact_binding_rules(tmp_path):
     )
     assert any("call to 'f' is missing required argument(s) ['b']" in m for m in out)
     assert any("call to 'g' passes ['a'] both positionally and by keyword" in m for m in out)
+
+
+def test_call_arity_scope_engine_hardening(tmp_path):
+    """Third-review repros: class-body shadowing, global rebinds,
+    module-level walrus rebinds, comprehension targets, and deep
+    expression trees must neither false-positive nor crash."""
+    out = _check(
+        tmp_path,
+        """
+        import os
+
+        def f(a, b):
+            return a + b
+
+        class C:
+            def f(a):
+                return a
+            y = f(1)            # class-body call resolves to C's f
+
+        def setup():
+            global g
+            def g(a):
+                return a
+
+        def g(a, b):
+            return a + b
+        setup()
+        g(1)                    # g was global-rebound: exempt
+
+        def h(a, b):
+            return a + b
+        if (h := getattr(os, "getcwd", None)):
+            pass
+        h()                     # h rebound by module-level walrus: exempt
+
+        def k(a, b):
+            return a + b
+        results = [k(3) for k in [abs, int]]   # comprehension target shadows
+        print(C, results, f(1, 2))
+        """,
+    )
+    assert out == []
+    # Deep expression tree: must not RecursionError the gate.
+    deep = "x = " + " + ".join(["1"] * 3000) + "\nprint(x)\n"
+    out2 = _check(tmp_path, deep, name="deep.py")
+    assert out2 == []

@@ -157,15 +157,23 @@ def _module_binding_list(tree: ast.Module) -> list[str]:
                 bound.extend(s.names)
             elif isinstance(s, ast.Delete):
                 pass  # del unbinds; treating as bound is the safe side
-            elif isinstance(s, ast.Expr):
-                # walrus in a module-level expression
-                for node in ast.walk(s):
-                    if isinstance(node, ast.NamedExpr):
-                        bind_target(node.target)
 
     visit_block(tree.body)
-    # walruses anywhere at module level (comprehension walrus leaks to
-    # the enclosing scope per PEP 572)
+    # Walruses ANYWHERE at module level — if/while tests, assignment
+    # values, comprehensions (whose walrus leaks to the enclosing scope
+    # per PEP 572) — excluding nested function/class scopes (review
+    # finding: the old scan only saw bare Expr statements).
+    stack = list(tree.body)
+    while stack:
+        node = stack.pop()
+        if isinstance(
+            node,
+            (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda, ast.ClassDef),
+        ):
+            continue
+        if isinstance(node, ast.NamedExpr):
+            bind_target(node.target)
+        stack.extend(ast.iter_child_nodes(node))
     return bound
 
 
@@ -451,27 +459,41 @@ def _check_call_arity(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]
     """mypy-class call-arity drift for SAME-MODULE plain functions.
 
     Only module-level ``def`` without decorators and without
-    ``*args``/``**kwargs`` participate; a name bound more than once
-    ANYWHERE at module level — reassignment, a ``try: from fast_impl
-    import f`` fallback, conditional def — is dropped (review finding:
-    the first version only scanned top-level statements).  Call sites
-    using ``*seq``/``**map`` are skipped, and calls are resolved with
-    SCOPE AWARENESS: a bare name shadowed by a parameter, local binding,
-    or nested def in any enclosing function scope is not the module
-    function (review finding).  Within those bounds the coverage check
-    follows CPython's binding rules: positionals fill left-to-right,
-    keywords may fill remaining non-positional-only params, a keyword
-    naming an already-filled param is a 'multiple values' error, and
-    required keyword-only params must be named."""
+    ``*args``/``**kwargs`` participate; a name bound more than once at
+    module level — reassignment, a ``try: from fast_impl import f``
+    fallback, conditional def, a module-level walrus, or a ``global``
+    rebinding from any function — is dropped.  Call sites using
+    ``*seq``/``**map`` are skipped, and calls are resolved with SCOPE
+    AWARENESS: a name shadowed by a parameter or local binding of any
+    enclosing function/lambda scope, by a comprehension target, or by a
+    class-body binding is not (or may not be) the module function, so
+    the call is skipped — shadowing is always resolved in the
+    conservative direction (skip, never false-positive).  Within those
+    bounds the coverage check follows CPython's binding rules:
+    positionals fill left-to-right, keywords may fill remaining
+    non-positional-only params, a keyword naming an already-filled
+    param is a 'multiple values' error, and required keyword-only
+    params must be named."""
     from collections import Counter
 
     bound_counts = Counter(_module_binding_list(tree))
+    # A `global f` + assignment inside ANY function rebinds the module
+    # name at some runtime point — drop such names entirely (review
+    # finding: the module-level scan cannot see these).
+    global_rebinds: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Global):
+            global_rebinds.update(node.names)
 
     sigs: dict[str, tuple] = {}
     for s in tree.body:
         if not isinstance(s, ast.FunctionDef):
             continue
-        if s.decorator_list or bound_counts.get(s.name, 0) != 1:
+        if (
+            s.decorator_list
+            or bound_counts.get(s.name, 0) != 1
+            or s.name in global_rebinds
+        ):
             continue
         a = s.args
         if a.vararg or a.kwarg:
@@ -491,18 +513,17 @@ def _check_call_arity(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]
     findings: list[str] = []
 
     def local_bound(fn) -> set[str]:
-        """Names bound in ``fn``'s own scope (params + Store targets +
-        nested def/class names + imports + handler/with/for targets),
-        NOT descending into nested function scopes."""
-        a = fn.args if not isinstance(fn, ast.ClassDef) else None
+        """Names bound in a function/lambda scope (params + Store targets
+        + nested def/class names + imports + handler targets), NOT
+        descending into nested function scopes."""
+        a = fn.args
         names: set[str] = set()
-        if a is not None:
-            for p in a.posonlyargs + a.args + a.kwonlyargs:
-                names.add(p.arg)
-            if a.vararg:
-                names.add(a.vararg.arg)
-            if a.kwarg:
-                names.add(a.kwarg.arg)
+        for p in a.posonlyargs + a.args + a.kwonlyargs:
+            names.add(p.arg)
+        if a.vararg:
+            names.add(a.vararg.arg)
+        if a.kwarg:
+            names.add(a.kwarg.arg)
         body = fn.body if not isinstance(fn, ast.Lambda) else [fn.body]
         stack = list(body)
         while stack:
@@ -523,6 +544,41 @@ def _check_call_arity(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]
             elif isinstance(node, ast.ExceptHandler) and node.name:
                 names.add(node.name)
             stack.extend(ast.iter_child_nodes(node))
+        return names
+
+    def class_body_bound(cls: ast.ClassDef) -> set[str]:
+        """Names bound at CLASS-BODY level (methods, class attributes,
+        imports) — they shadow module names for class-body expressions.
+        Over-shadowing methods' bodies too is deliberate: CPython skips
+        the class scope when resolving bare names inside methods, but
+        skipping a check is the safe direction while re-enabling it
+        would need exact scope rules."""
+        names: set[str] = set()
+        stack = list(cls.body)
+        while stack:
+            node = stack.pop()
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                names.add(node.name)
+                continue
+            if isinstance(node, ast.Lambda):
+                continue
+            if isinstance(node, ast.Name) and isinstance(
+                node.ctx, (ast.Store, ast.Del)
+            ):
+                names.add(node.id)
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                for al in node.names:
+                    if al.name != "*":
+                        names.add(al.asname or al.name.split(".")[0])
+            stack.extend(ast.iter_child_nodes(node))
+        return names
+
+    def comp_targets(node) -> set[str]:
+        names: set[str] = set()
+        for gen in node.generators:
+            for n in ast.walk(gen.target):
+                if isinstance(n, ast.Name):
+                    names.add(n.id)
         return names
 
     def check_call(node: ast.Call) -> None:
@@ -566,9 +622,18 @@ def _check_call_arity(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]
                 f"required argument(s) {missing}"
             )
 
-    def walk_scope(node: ast.AST, shadowed: frozenset) -> None:
+    # Iterative scope-carrying walk (explicit stack: unbounded recursion
+    # on deep expression trees crashed the gate — review finding).
+    _COMPS = (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)
+    stack = [(tree, frozenset())]
+    while stack:
+        node, shadowed = stack.pop()
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
             shadowed = shadowed | local_bound(node)
+        elif isinstance(node, ast.ClassDef):
+            shadowed = shadowed | class_body_bound(node)
+        elif isinstance(node, _COMPS):
+            shadowed = shadowed | comp_targets(node)
         if (
             isinstance(node, ast.Call)
             and isinstance(node.func, ast.Name)
@@ -577,9 +642,7 @@ def _check_call_arity(tree: ast.Module, path: Path, noqa: set[int]) -> list[str]
         ):
             check_call(node)
         for child in ast.iter_child_nodes(node):
-            walk_scope(child, shadowed)
-
-    walk_scope(tree, frozenset())
+            stack.append((child, shadowed))
     return findings
 
 
