@@ -268,3 +268,74 @@ def test_return_all_histories_match_reference():
     )
     np.testing.assert_allclose(ours.allfuns, theirs.allfuns, atol=1e-12)
     np.testing.assert_allclose(ours.allerrs, theirs.allerrs, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_randomized_quadratic_l1_trajectory_fuzz(seed):
+    """Parity fuzz past the zoo: random least-squares objectives with
+    weighted L1 (m in {1, 2}, random shapes/regularization/lr), fixed
+    step for a fixed window — our trajectory must match the actual
+    reference solver's to 1e-8 on every instance.  Catches formulation
+    drift the hand-picked zoo cases might miss."""
+    rng = np.random.default_rng(100 + seed)
+    m = int(rng.integers(1, 3))
+    n = int(rng.integers(3, 13))
+    k = n + int(rng.integers(0, 5))
+    As = [rng.standard_normal((k, n)) / np.sqrt(k) for _ in range(m)]
+    bs = [rng.standard_normal(k) for _ in range(m)]
+    r = rng.uniform(0.01, 0.3, size=m)
+    L = max(2 * np.linalg.norm(A, 2) ** 2 / 1.0 for A in As)
+    lr = float(rng.uniform(0.3, 0.9)) / L
+    n_iter = 25
+    x0 = rng.uniform(-1, 1, size=n)
+
+    As_j = [jnp.asarray(A) for A in As]
+    bs_j = [jnp.asarray(b) for b in bs]
+    r_j = jnp.asarray(r)
+
+    def f(x):
+        return jnp.stack([jnp.sum((A @ x - b) ** 2) for A, b in zip(As_j, bs_j)])
+
+    def jac_f(x):
+        return jnp.stack([2 * A.T @ (A @ x - b) for A, b in zip(As_j, bs_j)])
+
+    def g(x):
+        return r_j * jnp.sum(jnp.abs(x))
+
+    def prox(w, x):
+        # reference convention: scalar weight for m == 1
+        t = jnp.sum(jnp.atleast_1d(w) * r_j)
+        return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0)
+
+    if m == 1:
+        f1 = lambda x: f(x)[0]
+        g1 = lambda x: g(x)[0]
+        jac1 = lambda x: jac_f(x)[0]
+        ours = minimize_proximal_gradient(
+            f1, g1, jac1, prox, x0, lr=lr, decay_rate=1, max_iter=n_iter,
+            tol=0.0, nesterov=True,
+        )
+        theirs = ref_minimize(
+            lambda x: float(f1(jnp.asarray(x))),
+            lambda x: float(g1(jnp.asarray(x))),
+            lambda x: np.asarray(jac1(jnp.asarray(x))),
+            lambda w, x: np.asarray(prox(w, jnp.asarray(x))),
+            x0, lr=lr, decay_rate=1, max_iter=n_iter, tol=0.0, nesterov=True,
+        )
+    else:
+        ours = minimize_proximal_gradient(
+            f, g, jac_f, prox, x0, lr=lr, decay_rate=1, max_iter=n_iter,
+            tol=0.0, nesterov=True,
+        )
+        theirs = ref_minimize(
+            lambda x: np.asarray(f(jnp.asarray(x))),
+            lambda x: np.asarray(g(jnp.asarray(x))),
+            lambda x: np.asarray(jac_f(jnp.asarray(x))),
+            lambda w, x: np.asarray(prox(jnp.asarray(w), jnp.asarray(x))),
+            x0, lr=lr, decay_rate=1, max_iter=n_iter, tol=0.0, nesterov=True,
+        )
+    assert ours.nit == n_iter and theirs.nit == n_iter
+    np.testing.assert_allclose(
+        ours.x, theirs.x, atol=1e-8,
+        err_msg=f"seed={seed} m={m} n={n} lr={lr:.2e}",
+    )
