@@ -339,3 +339,55 @@ def test_randomized_quadratic_l1_trajectory_fuzz(seed):
         ours.x, theirs.x, atol=1e-8,
         err_msg=f"seed={seed} m={m} n={n} lr={lr:.2e}",
     )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_randomized_m3_trajectory_fuzz(seed):
+    """Same past-the-zoo fuzz for the m=3 semismooth-Newton path.
+    Windows stay short and the tolerance coarse because the ORACLE's
+    trust-constr solves each dual only to ~1e-5..1e-7 (see the CASES
+    calibration note); within that, random quadratic triples must track."""
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(4, 9))
+    k = n + 2
+    As = [rng.standard_normal((k, n)) / np.sqrt(k) for _ in range(3)]
+    bs = [rng.standard_normal(k) for _ in range(3)]
+    r = rng.uniform(0.01, 0.2, size=3)
+    L = max(2 * np.linalg.norm(A, 2) ** 2 for A in As)
+    lr = 0.5 / L
+    n_iter = 10
+    x0 = rng.uniform(-1, 1, size=n)
+
+    As_j = [jnp.asarray(A) for A in As]
+    bs_j = [jnp.asarray(b) for b in bs]
+    r_j = jnp.asarray(r)
+
+    def f(x):
+        return jnp.stack([jnp.sum((A @ x - b) ** 2) for A, b in zip(As_j, bs_j)])
+
+    def jac_f(x):
+        return jnp.stack([2 * A.T @ (A @ x - b) for A, b in zip(As_j, bs_j)])
+
+    def g(x):
+        return r_j * jnp.sum(jnp.abs(x))
+
+    def prox(w, x):
+        t = jnp.sum(w * r_j)
+        return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0)
+
+    ours = minimize_proximal_gradient(
+        f, g, jac_f, prox, x0, lr=lr, decay_rate=1, max_iter=n_iter,
+        tol=0.0, nesterov=True,
+    )
+    theirs = ref_minimize(
+        lambda x: np.asarray(f(jnp.asarray(x))),
+        lambda x: np.asarray(g(jnp.asarray(x))),
+        lambda x: np.asarray(jac_f(jnp.asarray(x))),
+        lambda w, x: np.asarray(prox(jnp.asarray(w), jnp.asarray(x))),
+        x0, lr=lr, decay_rate=1, max_iter=n_iter, tol=0.0, nesterov=True,
+    )
+    assert ours.nit == n_iter and theirs.nit == n_iter
+    np.testing.assert_allclose(
+        ours.x, theirs.x, atol=1e-4,
+        err_msg=f"seed={seed} n={n} lr={lr:.2e}",
+    )
