@@ -391,3 +391,82 @@ def test_randomized_m3_trajectory_fuzz(seed):
         ours.x, theirs.x, atol=1e-4,
         err_msg=f"seed={seed} n={n} lr={lr:.2e}",
     )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_randomized_backtracking_fuzz(seed):
+    """Line-search parity fuzz: random instances solved WITH backtracking
+    (initial lr deliberately above 1/L so the accept/decay loop must
+    fire).  m=1 (scalar accept test) runs to convergence with EXACT nit
+    equality — the scalar subproblem is closed-form in both solvers.
+    m=2 (elementwise-all vector accept) compares a fixed short window
+    instead: the m=2 duals (our bisection vs the reference's Brent)
+    agree only to ~1e-8 per step, and backtracking amplifies that into
+    branch flips on marginal accepts after a few dozen iterations
+    (measured: seed 3 diverges in nit 52 vs 39 with BOTH solves valid) —
+    the same chaos protocol as the m>=3 CASES note."""
+    rng = np.random.default_rng(500 + seed)
+    m = 1 + (seed % 2)
+    n = int(rng.integers(3, 9))
+    k = n + 2
+    As = [rng.standard_normal((k, n)) / np.sqrt(k) for _ in range(m)]
+    bs = [rng.standard_normal(k) for _ in range(m)]
+    r = rng.uniform(0.02, 0.2, size=m)
+    L = max(2 * np.linalg.norm(A, 2) ** 2 for A in As)
+    lr0 = 4.0 / L  # forces ~3 halvings before first accept
+    x0 = rng.uniform(-1, 1, size=n)
+
+    As_j = [jnp.asarray(A) for A in As]
+    bs_j = [jnp.asarray(b) for b in bs]
+    r_j = jnp.asarray(r)
+
+    def f(x):
+        return jnp.stack([jnp.sum((A @ x - b) ** 2) for A, b in zip(As_j, bs_j)])
+
+    def jac_f(x):
+        return jnp.stack([2 * A.T @ (A @ x - b) for A, b in zip(As_j, bs_j)])
+
+    def g(x):
+        return r_j * jnp.sum(jnp.abs(x))
+
+    def prox(w, x):
+        t = jnp.sum(jnp.atleast_1d(w) * r_j)
+        return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0)
+
+    if m == 1:
+        opts = dict(lr=lr0, max_iter=5000, tol=1e-6, nesterov=True)
+    else:
+        # fixed window before last-ulp dual differences flip a marginal
+        # accept (see docstring)
+        opts = dict(lr=lr0, max_iter=12, tol=0.0, nesterov=True)
+    if m == 1:
+        f1 = lambda x: f(x)[0]
+        g1 = lambda x: g(x)[0]
+        jac1 = lambda x: jac_f(x)[0]
+        ours = minimize_proximal_gradient(f1, g1, jac1, prox, x0, **opts)
+        theirs = ref_minimize(
+            lambda x: float(f1(jnp.asarray(x))),
+            lambda x: float(g1(jnp.asarray(x))),
+            lambda x: np.asarray(jac1(jnp.asarray(x))),
+            lambda w, x: np.asarray(prox(w, jnp.asarray(x))),
+            x0, **opts,
+        )
+    else:
+        ours = minimize_proximal_gradient(f, g, jac_f, prox, x0, **opts)
+        theirs = ref_minimize(
+            lambda x: np.asarray(f(jnp.asarray(x))),
+            lambda x: np.asarray(g(jnp.asarray(x))),
+            lambda x: np.asarray(jac_f(jnp.asarray(x))),
+            lambda w, x: np.asarray(prox(jnp.asarray(w), jnp.asarray(x))),
+            x0, **opts,
+        )
+    if m == 1:
+        assert ours.success and theirs.success
+        atol = 1e-8
+    else:
+        atol = 1e-7
+    # equal nit + trajectory pins every accept/decay decision in-window
+    assert ours.nit == theirs.nit, f"seed={seed} m={m}: {ours.nit} vs {theirs.nit}"
+    np.testing.assert_allclose(
+        ours.x, theirs.x, atol=atol, err_msg=f"seed={seed} m={m} n={n}"
+    )
